@@ -1,0 +1,250 @@
+"""Field extraction — the ``parse_src_ip / parse_dst_ip / parse_port /
+parse_hash / parse_proto / normalize`` operator family (SURVEY §2.3).
+
+Re-implements, from scratch, the semantics of the reference parsers:
+
+* IP/port cache & encoding zoo — /root/reference/src/parsers/ip.c:32-61
+  (sanitizer char list ip.c:128-156, port-suffix forms ip.c:289-413)
+* proto keyword detection — ip.c:209-242
+* hash extraction — src/parsers/hash.c:42-174
+* program→proto map — src/parsers/proto.c:85-109 + src/protocol-map.c
+* liblognorm-style ``normalize`` — named-group regex rulebase analog of
+  src/liblognormalize.c:106-320
+
+These are pure-Python and shared by BOTH engines: the pure-Python oracle
+calls them row-at-a-time; the Spark engine calls them *lazily* — only for
+rows that already matched a rule requesting extraction (the reference is
+equally lazy: extraction happens post-content-match, engine.c:709-962, and
+the per-event cache guarantees at most one parse per event,
+engine.c:845-860).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+MAX_PARSE_IP = 30        # src/sagan-defs.h:122
+DEFAULT_PORT = 514       # config->default_port analog (etc/sagan.yaml sagan_port)
+DEFAULT_PROTO = "udp"    # config default proto
+
+# Characters the reference blanks out before tokenizing (ip.c:131-151).
+_SANITIZE = str.maketrans({c: " " for c in "\"()[]<>{},/@=-!|_+&%$~^'"})
+
+_IPV4_RE = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+_HEXGROUP_RE = re.compile(r"^[0-9a-fA-F:]+$")
+_PORT_RE = re.compile(r"^\d{1,5}$")
+
+_HASH_LENGTHS = {"md5": 32, "sha1": 40, "sha256": 64}
+_HASH_RE = {k: re.compile(rf"^[0-9a-fA-F]{{{n}}}$")
+            for k, n in _HASH_LENGTHS.items()}
+
+_PROTO_WORDS = {"tcp": "tcp", "udp": "udp", "icmp": "icmp"}  # ip.c:209-242
+
+
+def _valid_ipv4(tok: str) -> bool:
+    m = _IPV4_RE.match(tok)
+    return bool(m) and all(int(g) <= 255 for g in m.groups())
+
+
+def _valid_ipv6(tok: str) -> bool:
+    if tok.count(":") < 2 or not _HEXGROUP_RE.match(tok):
+        return False
+    import ipaddress
+    try:
+        ipaddress.IPv6Address(tok)
+        return True
+    except ValueError:
+        return False
+
+
+@dataclass(frozen=True)
+class IpHit:
+    ip: str
+    port: int
+    proto: str
+
+
+def parse_ip_cache(message: str,
+                   default_port: int = DEFAULT_PORT) -> list[IpHit]:
+    """Build the ordered IP lookup cache for one message — the analog of
+    ``Parse_IP`` (ip.c:88-992).  Handles the documented encoding zoo
+    (ip.c:32-61): bare IP, trailing period, ``ip:port``, ``ip#port``,
+    ``[ip]:port`` (brackets are blanked by the sanitizer, leaving a
+    dangling ``:port`` token), ``inet#ip``, and the
+    ``port / source port[:] / destination port[:] / client port[:] N``
+    suffix forms (ip.c:289-413).  Proto keywords tcp/udp/icmp are detected
+    anywhere in the message (ip.c:209-242) and stamped on every hit, like
+    the reference's single per-message proto."""
+    tokens = message.translate(_SANITIZE).split()
+    hits: list[IpHit] = []
+    proto = ""
+    i = 0
+    n = len(tokens)
+    while i < n and len(hits) < MAX_PARSE_IP:
+        tok = tokens[i]
+        low = tok.lower()
+        if low in _PROTO_WORDS:
+            proto = _PROTO_WORDS[low]
+            i += 1
+            continue
+        if tok.startswith("inet#"):           # inet#192.168.2.1 (ip.c:55)
+            tok = tok[5:]
+        ip: str | None = None
+        port = 0
+        if tok.endswith("."):                 # trailing period (ip.c:38)
+            tok = tok[:-1]
+        if ":" in tok and tok.count(":") == 1:
+            left, _, right = tok.partition(":")     # 1.2.3.4:5678
+            if _valid_ipv4(left) and _PORT_RE.match(right or ""):
+                ip, port = left, int(right)
+        elif "#" in tok:
+            left, _, right = tok.partition("#")     # ip#port (ip.c:44)
+            if (_valid_ipv4(left) or _valid_ipv6(left)) and \
+                    _PORT_RE.match(right or ""):
+                ip, port = left, int(right)
+        if ip is None and _valid_ipv4(tok):
+            ip = tok
+        if ip is None and _valid_ipv6(tok):
+            ip = tok
+        if ip is None:
+            i += 1
+            continue
+        # port from following tokens --------------------------------------
+        j = i + 1
+        if port == 0 and j < n:
+            nxt = tokens[j].lower()
+            if nxt.startswith(":") and _PORT_RE.match(nxt[1:]):
+                # "[ip]:80" sanitized into "ip :80" (ip.c:58)
+                port = int(nxt[1:])
+                j += 1
+            elif "port" in nxt:                     # "ip port 1234"
+                if j + 1 < n and _PORT_RE.match(tokens[j + 1].rstrip(":")):
+                    port = int(tokens[j + 1].rstrip(":"))
+                    j += 2
+            elif nxt in ("source", "destination", "desitnation", "client"):
+                # "ip source port[:] 1234" (ip.c:321-413; typo kept)
+                if j + 1 < n and "port" in tokens[j + 1].lower():
+                    k = j + 2
+                    if k < n and _PORT_RE.match(tokens[k].rstrip(":")):
+                        port = int(tokens[k].rstrip(":"))
+                        j = k + 1
+        if port == 0:
+            port = default_port                     # ip.c:304-310
+        hits.append(IpHit(ip=ip, port=port, proto=proto))
+        i = max(j, i + 1)
+    if proto:   # proto token may appear after the IP; restamp all hits
+        hits = [IpHit(ip=h.ip, port=h.port, proto=proto) for h in hits]
+    return hits
+
+
+def detect_proto(message: str) -> str:
+    """tcp/udp/icmp keyword detection (ip.c:209-242)."""
+    for tok in message.translate(_SANITIZE).split():
+        low = tok.lower()
+        if low in _PROTO_WORDS:
+            return _PROTO_WORDS[low]
+    return ""
+
+
+def parse_hash(message: str, kind: str) -> str:
+    """First token that is exactly 32/40/64 hex chars
+    (Parse_Hash, src/parsers/hash.c:42-174)."""
+    pat = _HASH_RE[kind]
+    for tok in message.translate(_SANITIZE).split():
+        tok = tok.strip(".:;")
+        if pat.match(tok):
+            return tok.lower()
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# program → proto map (src/protocol-map.c, src/parsers/proto.c:85-109)
+# ---------------------------------------------------------------------------
+
+DEFAULT_PROGRAM_PROTO_MAP: tuple[tuple[str, str], ...] = (
+    # substring-of-program → proto, scanned in order (proto.c:93-104)
+    ("sshd", "tcp"),
+    ("telnet", "tcp"),
+    ("ftp", "tcp"),
+    ("http", "tcp"),
+    ("web", "tcp"),
+    ("smtp", "tcp"),
+    ("dns", "udp"),
+    ("ntp", "udp"),
+    ("snmp", "udp"),
+    ("ping", "icmp"),
+)
+
+
+def parse_proto_program(program: str,
+                        proto_map=DEFAULT_PROGRAM_PROTO_MAP) -> str:
+    low = (program or "").lower()
+    for needle, proto in proto_map:
+        if needle in low:
+            return proto
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# "normalize" — grok-style named-group rulebase
+# (liblognorm analog, src/liblognormalize.c:106-320)
+# ---------------------------------------------------------------------------
+
+# Fields the reference merges from liblognorm (engine.c:709-838).
+NORMALIZE_FIELDS = ("src_ip", "dst_ip", "src_port", "dst_port", "username",
+                    "md5", "sha1", "sha256")
+
+DEFAULT_NORMALIZE_RULEBASE: tuple[str, ...] = (
+    # applied in order; first match per field wins
+    r"login (?:failed|succeeded) for user (?P<username>\S+)",
+    r"user (?P<username>\S+) login",
+    r"from (?P<src_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+    r"(?::(?P<src_port>\d{1,5}))?",
+    r"to (?P<dst_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+    r"(?::(?P<dst_port>\d{1,5}))?",
+    r"md5=(?P<md5>[0-9a-fA-F]{32})",
+    r"sha1=(?P<sha1>[0-9a-fA-F]{40})",
+    r"sha256=(?P<sha256>[0-9a-fA-F]{64})",
+)
+
+_COMPILED_RULEBASE = tuple(re.compile(p, re.I)
+                           for p in DEFAULT_NORMALIZE_RULEBASE)
+
+
+def normalize_message(message: str, rulebase=None) -> dict[str, str]:
+    """Apply the named-group rulebase; returns only captured fields.
+    Precedence across extraction sources is handled by the caller
+    (engine.c:842-846: normalize > parse_* > host fallback)."""
+    compiled = (_COMPILED_RULEBASE if rulebase is None else
+                tuple(re.compile(p, re.I) for p in rulebase))
+    out: dict[str, str] = {}
+    for rx in compiled:
+        m = rx.search(message)
+        if not m:
+            continue
+        for k, v in m.groupdict().items():
+            if v is not None and k not in out:
+                out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# one-shot extraction record (what the engines consume)
+# ---------------------------------------------------------------------------
+
+def blacklist_hit(ip: str, ranges: tuple[tuple[int, int], ...]) -> bool:
+    """CIDR-range membership via bisect over sorted inclusive ranges —
+    the broadcast analog of ``is_inrange`` (src/util.c:564) used by the
+    blacklist processor (src/processors/blacklist.c:244-297)."""
+    if not ip or not ranges:
+        return False
+    from bisect import bisect_right
+
+    from .rules.compiler import ip_to_int
+    try:
+        v = ip_to_int(ip)
+    except ValueError:
+        return False
+    idx = bisect_right(ranges, (v, float("inf"))) - 1
+    return idx >= 0 and ranges[idx][0] <= v <= ranges[idx][1]
