@@ -27,17 +27,16 @@ import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
-from sagan_spark.extract import (
-    DEFAULT_PORT,
-    DEFAULT_PROTO,
-    blacklist_hit,
-    detect_proto,
-    normalize_message,
-    parse_hash,
-    parse_ip_cache,
-    parse_proto_program,
+from sagan_spark.extract import DEFAULT_PORT, DEFAULT_PROTO, blacklist_hit
+from sagan_spark.rules.compiler import RuleSet
+from sagan_spark.semantics import (
+    PrimCache,
+    alert_time_pass,
+    extract_for_rule,
+    flow_pass,
+    track_key,
+    xbit_track_value,
 )
-from sagan_spark.rules.compiler import RuleSet, ip_to_int
 from sagan_spark.rules.model import (
     CompiledRule,
     XBIT_ISNOTSET,
@@ -164,92 +163,22 @@ class OracleEngine:
                 return False
         return True
 
-    # -- extraction (engine.c:709-1045) -------------------------------------
+    # -- extraction: shared semantics.extract_for_rule (engine.c:709-1045)
 
-    def _extract(self, rule: CompiledRule, ev: Event) -> dict:
-        out = {"ip_src": "", "src_port": 0, "ip_dst": "", "dst_port": 0,
-               "proto": "", "username": "", "hash": ""}
-        norm: dict[str, str] = {}
-        if rule.normalize:
-            norm = normalize_message(ev.text)
-            out["ip_src"] = norm.get("src_ip", "")
-            out["ip_dst"] = norm.get("dst_ip", "")
-            out["src_port"] = int(norm.get("src_port") or 0)
-            out["dst_port"] = int(norm.get("dst_port") or 0)
-            out["username"] = norm.get("username", "")
-        cache = None
-        if rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port:
-            cache = parse_ip_cache(ev.text, self.default_port)
-        # parse_* overrides normalize (engine.c:842-860 precedence)
-        if rule.parse_src_ip and cache and len(cache) >= rule.parse_src_ip:
-            hit = cache[rule.parse_src_ip - 1]
-            out["ip_src"], out["src_port"] = hit.ip, hit.port
-            if hit.proto:
-                out["proto"] = hit.proto
-        if rule.parse_dst_ip and cache and len(cache) >= rule.parse_dst_ip:
-            hit = cache[rule.parse_dst_ip - 1]
-            out["ip_dst"], out["dst_port"] = hit.ip, hit.port
-            if hit.proto:
-                out["proto"] = hit.proto
-        if rule.parse_port and cache:
-            out["src_port"] = cache[0].port
-        if rule.parse_hash:
-            out["hash"] = parse_hash(ev.text, rule.parse_hash)
-        if rule.parse_proto:
-            p = detect_proto(ev.text)
-            if p:
-                out["proto"] = p
-        if rule.parse_proto_program and not out["proto"]:
-            out["proto"] = parse_proto_program(ev.tool)
-        # fallback addressing (engine.c:967-1045): syslog_host == conv_id
-        if not out["ip_src"]:
-            out["ip_src"] = ev.conv_id
-        if not out["ip_dst"]:
-            out["ip_dst"] = ev.conv_id
-        if not out["src_port"]:
-            out["src_port"] = self.default_port
-        if not out["dst_port"]:
-            out["dst_port"] = self.default_port
-        if not out["proto"]:
-            out["proto"] = self.default_proto
-        return out
+    def _extract(self, rule: CompiledRule, ev: Event, pc: PrimCache) -> dict:
+        return extract_for_rule(rule, ev.conv_id, pc,
+                                self.default_port, self.default_proto)
 
-    # -- header flow check (src/flow.c:49-427) ------------------------------
+    # -- header flow check: shared semantics.flow_pass (src/flow.c:49-427)
 
     def _flow_pass(self, rule: CompiledRule, ex: dict) -> bool:
-        if rule.head.all_any:    # AllAny fast-track (rules.c:303-310)
-            return True
-
-        def ip_int(s: str):
-            try:
-                return ip_to_int(s)
-            except ValueError:
-                return None
-
-        s_ip, d_ip = ip_int(ex["ip_src"]), ip_int(ex["ip_dst"])
-        s_p, d_p = ex["src_port"], ex["dst_port"]
-        h = rule.head
-        fwd = (h.src_ip.contains(s_ip) and h.src_port.contains(s_p) and
-               h.dst_ip.contains(d_ip) and h.dst_port.contains(d_p))
-        if h.direction in ("->", "any"):
-            return fwd
-        rev = (h.src_ip.contains(d_ip) and h.src_port.contains(d_p) and
-               h.dst_ip.contains(s_ip) and h.dst_port.contains(s_p))
-        if h.direction == "<-":
-            return rev
-        return fwd or rev        # <>
+        return flow_pass(rule, ex)
 
     # -- correlation ---------------------------------------------------------
 
     @staticmethod
     def _track_key(tracks: tuple[str, ...], ex: dict) -> str:
-        """"src|sport|dst|dport|user" subset string (after.c:108-110)."""
-        src = ex["ip_src"] if "by_src" in tracks else ""
-        dst = ex["ip_dst"] if "by_dst" in tracks else ""
-        user = ex["username"] if "by_username" in tracks else ""
-        sport = ex["src_port"] if "by_srcport" in tracks else 0
-        dport = ex["dst_port"] if "by_dstport" in tracks else 0
-        return f"{src}|{sport}|{dst}|{dport}|{user}"
+        return track_key(tracks, ex)
 
     def _after_check(self, rule: CompiledRule, ex: dict, now: int) -> bool:
         """Returns after_log_flag: True = suppress (after.c:51-229)."""
@@ -293,13 +222,7 @@ class OracleEngine:
         return flag
 
     def _xbit_key(self, xb, ex: dict) -> tuple:
-        if xb.track == "ip_src":
-            k = ex["ip_src"]
-        elif xb.track == "ip_dst":
-            k = ex["ip_dst"]
-        else:
-            k = f"{ex['ip_src']}|{ex['ip_dst']}"
-        return (xb.name, k)
+        return (xb.name, xbit_track_value(xb.track, ex))
 
     def _xbit_condition(self, rule: CompiledRule, ex: dict,
                         now: int) -> bool:
@@ -328,24 +251,11 @@ class OracleEngine:
                 if key in self.xbit_state:
                     self.xbit_state[key].expire_at = 0
 
-    # -- alert_time (aetas.c:48-211) -----------------------------------------
+    # -- alert_time: shared semantics.alert_time_pass (aetas.c:48-211)
 
     @staticmethod
     def _alert_time_pass(spec, ts: datetime) -> bool:
-        ts = ts.astimezone(timezone.utc)
-        day = (ts.weekday() + 1) % 7            # tm_wday: Sunday == 0
-        cur = ts.hour * 100 + ts.minute
-        next_day = spec.start > spec.end        # midnight wrap
-        off_day = day not in spec.days
-        prev_ok = ((day - 1) % 7) in spec.days
-        if day in spec.days or (prev_ok and next_day):
-            if not next_day and not off_day:
-                return spec.start <= cur <= spec.end
-            if next_day and not off_day:
-                return cur >= spec.start or cur <= spec.end
-            if next_day and off_day:
-                return cur <= spec.end
-        return False
+        return alert_time_pass(spec, ts)
 
     # -- the event loop --------------------------------------------------------
 
@@ -374,13 +284,16 @@ class OracleEngine:
             return
         c["events_processed"] += 1
         now = ev.epoch
+        pc = None  # per-event parse-once cache (engine.c:845-860)
 
         for rule in self.rs.rules:      # load order (engine.c:300)
             if not self._gates_pass(rule, ev):
                 continue
             if not self._body_match(rule, ev):
                 continue
-            ex = self._extract(rule, ev)
+            if pc is None:
+                pc = PrimCache(ev.text, ev.tool)
+            ex = self._extract(rule, ev, pc)
             if not self._flow_pass(rule, ex):
                 continue
             if not self._xbit_condition(rule, ex, now):

@@ -1,0 +1,84 @@
+"""End-to-end pipeline composition: parse → match → enrich → correlate →
+route (SURVEY §3.4).
+
+The plan, stage by stage:
+
+  read transcripts (parquet / Iceberg when available; bucket(conv_id)
+      partition spec at scale)
+    → PARSE      sentinel-fill + epoch           [narrow, codegen]
+    → IGNORE     drop-list filter                [narrow, codegen; the
+                  pushdown-friendly first filter, sagan.c:1228-1248]
+    → MATCH      vectorized mapInPandas matcher  [narrow, Arrow batches]
+    → CORRELATE  after/threshold/xbit grouped    [the only shuffles —
+                  keyed by state key, matched rows only]
+    → ENRICH     broadcast joins                 [no shuffle]
+    → ROUTE      sink projections + counts       [map-side agg]
+
+Nothing in the plan materializes unpartitioned state; every stage is keyed
+by conv_id-derived keys, which is what makes the 10^12-turn design scale
+work (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .correlate import run_correlate
+from .enrich import enrich_alerts
+from .match import run_match
+from .parse import malformed_counts, parse_transcripts, split_ignored
+from .route import (
+    alert_sink,
+    drop_sink,
+    eve_alert_sink,
+    eve_log_sink,
+    sink_counts,
+    to_eve_json,
+)
+from .rules.compiler import RuleSet, compile_ruleset_from_dir
+
+
+@dataclass
+class PipelineResult:
+    alerts: DataFrame
+    eve_alerts: DataFrame
+    eve_logs: DataFrame
+    drops: DataFrame
+    counters: DataFrame
+    malformed: DataFrame
+    correlated: DataFrame   # pre-route, for inspection/metrics
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame,
+                 ruleset: RuleSet) -> PipelineResult:
+    parsed = parse_transcripts(transcripts)
+    kept, dropped = split_ignored(parsed, ruleset.ignore_list)
+    matches = run_match(kept, ruleset)
+    correlated = run_correlate(matches, ruleset)
+    alerts = enrich_alerts(alert_sink(correlated, ruleset), spark, ruleset)
+    # re-order columns for a stable sink schema
+    alerts = alerts.select(
+        "conv_id", "turn_idx", "ts", "gid", "sid", "rev", "msg", "classtype",
+        "class_desc", "pri", "ip_src", "src_port", "ip_dst", "dst_port",
+        "proto", "text", "action")
+    return PipelineResult(
+        alerts=alerts,
+        eve_alerts=eve_alert_sink(correlated, ruleset),
+        eve_logs=eve_log_sink(kept),
+        drops=drop_sink(dropped),
+        counters=sink_counts(correlated, kept, dropped, ruleset),
+        malformed=malformed_counts(parsed),
+        correlated=correlated,
+    )
+
+
+def run_pipeline_from_dir(spark: SparkSession, transcripts: DataFrame,
+                          rules_dir: str) -> PipelineResult:
+    return run_pipeline(spark, transcripts,
+                        compile_ruleset_from_dir(rules_dir))
+
+
+__all__ = ["PipelineResult", "run_pipeline", "run_pipeline_from_dir",
+           "to_eve_json"]

@@ -1,0 +1,133 @@
+"""Stage 6 — ROUTE: fan matched rows out to sinks + per-sink counts.
+
+Sinks (SURVEY §2.1):
+* ``alert``      — K1/K2 analog (one row per emitted alert;
+                   output-plugins/alert.c:49-78 / fast.c:46-80)
+* ``eve_alert``  — K3 Suricata-EVE-style record (json-handler.c:55-252)
+* ``eve_log``    — K4: one record per *processed* turn
+                   (json-handler.c:258-322, engine.c:1662-1668)
+* ``drop``       — K10: ignore-list hits (sagan.c:1230-1248)
+
+Per-sink aggregate counts are a correctness target (north rule); they are
+computed as plain groupBy/count aggregations over the routed frames —
+map-side partial aggregation, one tiny result row each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+GID = 5000001  # SAGAN_PROCESSOR_GENERATOR_ID analog (oracle/engine.py GID)
+
+ALERT_COLUMNS = [
+    # field set from alert.c:59-63 + send-alert.c:70-107, transcript-mapped;
+    # class_desc is joined in by enrich.enrich_alerts (J1)
+    "conv_id", "turn_idx", "ts", "gid", "sid", "rev", "msg", "classtype",
+    "pri", "ip_src", "src_port", "ip_dst", "dst_port",
+    "proto", "text", "action",
+]
+
+
+def emitted(correlated: DataFrame) -> DataFrame:
+    """Rows that survive xbit gating and after/threshold suppression —
+    the Send_Alert set (engine.c:1546-1606)."""
+    return correlated.filter(
+        F.col("xbit_pass") & ~F.col("suppress_after") &
+        ~F.col("suppress_thresh"))
+
+
+def _excluding(df: DataFrame, sids: list[int]) -> DataFrame:
+    """noalert/noeve suppression flags (output.c:81-93 analog)."""
+    return df.filter(~F.col("sid").isin(sids)) if sids else df
+
+
+def alert_sink(correlated: DataFrame, ruleset=None) -> DataFrame:
+    noalert = [r.sid for r in ruleset.rules if r.noalert] if ruleset else []
+    return (_excluding(emitted(correlated), noalert)
+            .withColumn("gid", F.lit(GID).cast("long"))
+            .select(*ALERT_COLUMNS))
+
+
+def eve_alert_sink(correlated: DataFrame, ruleset=None) -> DataFrame:
+    """EVE alert projection (field list json-handler.c:113-216).  Kept as
+    typed columns; ``to_eve_json`` renders the JSON string form."""
+    noeve = [r.sid for r in ruleset.rules if r.noeve] if ruleset else []
+    return (_excluding(emitted(correlated), noeve)
+            .withColumn("gid", F.lit(GID).cast("long"))
+            .select(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSZ")
+                 .alias("timestamp"),
+                F.xxhash64("conv_id", "turn_idx").alias("flow_id"),
+                F.lit("alert").alias("event_type"),
+                F.col("ip_src").alias("src_ip"),
+                F.col("src_port"),
+                F.col("ip_dst").alias("dest_ip"),
+                F.col("dst_port").alias("dest_port"),
+                F.col("proto"),
+                F.base64(F.col("text").cast("binary")).alias("payload"),
+                F.col("action"),
+                F.col("gid"),
+                F.col("sid").alias("signature_id"),
+                F.col("rev"),
+                F.col("msg").alias("signature"),
+                F.col("classtype").alias("category"),
+                F.col("pri").alias("severity"),
+                F.col("conv_id"), F.col("turn_idx"),
+            ))
+
+
+def to_eve_json(eve_alerts: DataFrame) -> DataFrame:
+    """Render EVE rows as one JSON string column (F.to_json over a struct —
+    JVM-side, codegen'd)."""
+    alert_struct = F.struct(
+        F.col("action"), F.col("gid"), F.col("signature_id"), F.col("rev"),
+        F.col("signature"), F.col("category"), F.col("severity"))
+    top = F.struct(
+        F.col("timestamp"), F.col("flow_id"), F.col("event_type"),
+        F.col("src_ip"), F.col("src_port"), F.col("dest_ip"),
+        F.col("dest_port"), F.col("proto"), F.col("payload"),
+        alert_struct.alias("alert"))
+    return eve_alerts.select(
+        "conv_id", "turn_idx", F.to_json(top).alias("eve"))
+
+
+def eve_log_sink(kept: DataFrame) -> DataFrame:
+    """event_type:"log" record per processed turn (json-handler.c:258-322)."""
+    return kept.select(
+        "conv_id", "turn_idx", "ts",
+        F.lit("log").alias("event_type"), "text")
+
+
+def drop_sink(dropped: DataFrame) -> DataFrame:
+    return dropped.select("conv_id", "turn_idx", "ts", "text")
+
+
+def sink_counts(correlated: DataFrame, kept: DataFrame,
+                dropped: DataFrame, ruleset=None) -> DataFrame:
+    """The counter block (src/sagan.h:194-345, stats.c:109-114):
+    one aggregate row.  saganfound counts gated matches pre-suppression
+    (engine.c:1543); after_total counts after-rule fires (after.c:147);
+    threshold_total counts threshold suppressions (threshold.c:147)."""
+    noalert = [r.sid for r in ruleset.rules if r.noalert] if ruleset else []
+    gated = correlated.filter(F.col("xbit_pass"))
+    is_emitted = ~F.col("suppress_after") & ~F.col("suppress_thresh")
+    agg = gated.agg(
+        F.count("*").alias("saganfound"),
+        F.sum(F.when(F.col("after_key").isNotNull() &
+                     ~F.col("suppress_after"), 1).otherwise(0)
+              ).alias("after_total"),
+        F.sum(F.when(F.col("suppress_thresh"), 1).otherwise(0)
+              ).alias("threshold_total"),
+        F.sum(F.when(is_emitted & ~F.col("sid").isin(noalert or [-1]),
+                     1).otherwise(0)).alias("alert_total"),
+    )
+    base = kept.agg(F.count("*").alias("events_processed")).crossJoin(
+        dropped.agg(F.count("*").alias("ignore_count")))
+    return base.crossJoin(agg).select(
+        (F.col("events_processed") + F.col("ignore_count")
+         ).alias("events_received"),
+        "events_processed", "ignore_count", "saganfound",
+        F.coalesce("alert_total", F.lit(0)).alias("alert_total"),
+        F.coalesce("after_total", F.lit(0)).alias("after_total"),
+        F.coalesce("threshold_total", F.lit(0)).alias("threshold_total"),
+    )
