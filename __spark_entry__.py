@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Sagan-style parse → match → enrich →
+correlate → route pipeline (sagan_spark/) over a transcripts table derived
+deterministically from the driver's ``events`` parquet; ``queries()`` /
+``oracle_sql()`` expose every operator with a DuckDB-checkable ANSI-SQL
+oracle.
+
+Design: the transcripts input (conv_id, turn_idx, role, text, tool, ts) is
+synthesized *in SQL* from the events table — the same CTE text runs in
+Spark and DuckDB (only the epoch-seconds expression differs per dialect) —
+so both engines see bit-identical input, and the oracle re-derives each
+pipeline decision in pure SQL:
+
+* content/pcre/meta_content matching  → LIKE / regexp predicates
+* parse_src_ip / parse_hash           → regexp_extract
+* classtype broadcast join (J1)       → inline VALUES join
+* after / threshold window semantics  → recursive CTEs (the data-dependent
+  reset anchoring of after.c:130-137 / threshold.c:131 is a sequential
+  fold, hence WITH RECURSIVE)
+* xbit set/isset with expiry          → window MAX over preceding set rows
+* routed sinks + per-sink counts      → the same filters, aggregated
+
+The training-data operators (dedup, fingerprinting, token stats, lang-id,
+quality, ANN search) run over the driver's documents/embeddings tables
+with direct SQL oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from functools import lru_cache
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared transcripts derivation (identical text in both dialects modulo the
+# epoch expression)
+# ---------------------------------------------------------------------------
+
+_T_TEMPLATE = """
+SELECT
+  'conv-' || LPAD(CAST(user_id AS STRING), 8, '0') AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INT) AS turn_idx,
+  CASE WHEN event_id % 4 = 0 THEN 'user'
+       WHEN event_id % 4 = 1 THEN 'assistant'
+       WHEN event_id % 4 = 2 THEN 'tool'
+       ELSE 'system' END AS role,
+  CASE WHEN event_id % 97 = 0 THEN CAST(NULL AS STRING)
+       WHEN event_id % 8 = 0 THEN 'Invalid login from 12.'
+            || CAST(event_id % 256 AS STRING) || '.'
+            || CAST(CAST(FLOOR(event_id / 7) AS BIGINT) % 256 AS STRING)
+            || '.' || CAST(1 + (event_id % 250) AS STRING)
+       WHEN event_id % 8 = 1 THEN 'connection from 192.168.'
+            || CAST(event_id % 200 AS STRING) || '.'
+            || CAST(1 + (event_id % 250) AS STRING) || ':'
+            || CAST(1024 + (event_id % 50000) AS STRING)
+       WHEN event_id % 8 = 2 THEN 'user '
+            || CASE WHEN event_id % 3 = 0 THEN 'mary'
+                    WHEN event_id % 3 = 1 THEN 'frank'
+                    ELSE 'alice' END || ' login failed'
+       WHEN event_id % 8 = 3 THEN
+            CASE WHEN event_id % 16 = 3 THEN 'File system full'
+                 ELSE 'No space left on device' END
+       WHEN event_id % 8 = 4 THEN 'DEBUG heartbeat ok'
+       WHEN event_id % 8 = 5 THEN 'file quarantined md5='
+            || REPEAT(LPAD(CAST(event_id % 100000000 AS STRING), 8, '0'), 4)
+       WHEN event_id % 8 = 6 THEN
+            CASE WHEN CAST(FLOOR(event_id / 8) AS BIGINT) % 2 = 0
+                 THEN 'stage1 marker cmd=alpha'
+                 ELSE 'stage2 marker cmd=beta' END
+       ELSE 'probe attempt seq=' || CAST(event_id % 7 AS STRING)
+  END AS text,
+  event_type AS tool,
+  ts,
+  {EPOCH} AS epoch
+FROM events
+"""
+
+T_SPARK = _T_TEMPLATE.format(EPOCH="unix_timestamp(ts)")
+T_DUCK = _T_TEMPLATE.format(EPOCH="CAST(FLOOR(epoch(ts)) AS BIGINT)")
+
+# correlation parameters shared by rules-entry/entry.rules and the oracle
+_S = 259200          # after/threshold seconds & xbit expire (3 days)
+_C = 2               # after/threshold count
+
+_IGNORE = "DEBUG heartbeat"
+
+# classtype → (description, priority); mirrors rules-entry/classification.config
+_CLS = [
+    ("unsuccessful-user", "Unsuccessful User Privilege Gain", 1),
+    ("hardware-event", "Hardware Event", 3),
+    ("suspicious-login", "An Attempted Login Using a Suspicious Username", 2),
+    ("brute-force", "Brute Force Attack", 1),
+    ("attempted-recon", "Attempted Information Leak", 2),
+    ("suspicious-command", "Suspicious Command Execution", 2),
+    ("suspicious-filename-detect", "A Suspicious Filename Was Detected", 2),
+    ("not-suspicious", "Not Suspicious Traffic", 3),
+]
+_CLS_VALUES = ", ".join(f"('{k}', '{d}', {p})" for k, d, p in _CLS)
+
+_IP4 = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+# per-rule match blocks: identical extraction semantics to
+# sagan_spark/extract.py on these template texts
+_MATCH_BLOCKS = f"""
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000001 AS BIGINT) AS sid,
+         1 AS rev, 'alert' AS action, 'E1 invalid login' AS msg,
+         'unsuccessful-user' AS classtype,
+         regexp_extract(text, 'from ({_IP4})', 1) AS ip_src, 514 AS src_port,
+         conv_id AS ip_dst, 514 AS dst_port, 'udp' AS proto, '' AS hash
+  FROM kept WHERE text LIKE '%Invalid login from%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000002 AS BIGINT), 1, 'alert',
+         'E2 disk event', 'hardware-event',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE lower(text) LIKE '%file system full%'
+             OR lower(text) LIKE '%no space left on device%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000003 AS BIGINT), 1, 'alert',
+         'E3 watched user', 'suspicious-login',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%user mary login%' OR text LIKE '%user frank login%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000004 AS BIGINT), 1, 'alert',
+         'E4 brute force', 'brute-force',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%login failed%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000005 AS BIGINT), 1, 'alert',
+         'E5 probe limited', 'attempted-recon',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%probe attempt%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000006 AS BIGINT), 1, 'alert',
+         'E6 stage1', 'suspicious-command',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%stage1 marker%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000007 AS BIGINT), 1, 'alert',
+         'E7 stage2', 'suspicious-command',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%stage2 marker%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000008 AS BIGINT), 1, 'alert',
+         'E8 md5 seen', 'suspicious-filename-detect',
+         conv_id, 514, conv_id, 514, 'udp',
+         lower(regexp_extract(text, 'md5=([0-9a-fA-F]{{32}})', 1))
+  FROM kept WHERE text LIKE '%md5=%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000009 AS BIGINT), 1, 'alert',
+         'E9 connection', 'not-suspicious',
+         regexp_extract(text, 'from ({_IP4}):', 1),
+         CAST(regexp_extract(text, ':([0-9]+)', 1) AS INT),
+         conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%connection from%'
+             AND regexp_full_match(tool, '(error|view.*)')
+"""
+
+# full-pipeline oracle prelude: transcripts → parsed → kept/dropped →
+# matches → correlation flags (recursive CTEs) → emitted
+_PIPE_PRELUDE = f"""
+WITH RECURSIVE t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, role, COALESCE(text, '') AS text, tool, epoch
+      FROM t),
+kept AS (SELECT * FROM p WHERE text NOT LIKE '%{_IGNORE}%'),
+dropped AS (SELECT * FROM p WHERE text LIKE '%{_IGNORE}%'),
+m AS ({_MATCH_BLOCKS}),
+aord AS (SELECT conv_id, turn_idx, epoch,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY epoch, turn_idx)
+           AS rn
+         FROM m WHERE sid = 6000004),
+arec AS (
+  SELECT conv_id, turn_idx, rn, epoch, 1 AS cnt, epoch AS utime, TRUE AS sup
+  FROM aord WHERE rn = 1
+  UNION ALL
+  SELECT a.conv_id, a.turn_idx, a.rn, a.epoch,
+         CASE WHEN a.epoch - q.utime > {_S} THEN 1 ELSE q.cnt + 1 END,
+         CASE WHEN (CASE WHEN a.epoch - q.utime > {_S} THEN 1
+                         ELSE q.cnt + 1 END) > {_C} THEN a.epoch
+              WHEN a.epoch - q.utime > {_S} THEN a.epoch
+              ELSE q.utime END,
+         ((CASE WHEN a.epoch - q.utime > {_S} THEN 1
+                ELSE q.cnt + 1 END) <= {_C})
+  FROM aord a JOIN arec q ON a.conv_id = q.conv_id AND a.rn = q.rn + 1),
+tord AS (SELECT conv_id, turn_idx, epoch,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY epoch, turn_idx)
+           AS rn
+         FROM m WHERE sid = 6000005),
+trec AS (
+  SELECT conv_id, turn_idx, rn, epoch, 1 AS cnt, FALSE AS sup
+  FROM tord WHERE rn = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.rn, b.epoch,
+         CASE WHEN b.epoch - q.epoch > {_S} THEN 1 ELSE q.cnt + 1 END,
+         ((CASE WHEN b.epoch - q.epoch > {_S} THEN 1
+                ELSE q.cnt + 1 END) > {_C})
+  FROM tord b JOIN trec q ON b.conv_id = q.conv_id AND b.rn = q.rn + 1),
+xb AS (SELECT conv_id, turn_idx, sid, epoch,
+       MAX(CASE WHEN sid = 6000006 THEN epoch END) OVER
+         (PARTITION BY conv_id ORDER BY epoch, turn_idx, sid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_set
+       FROM m WHERE sid IN (6000006, 6000007)),
+flags AS (
+  SELECT conv_id, turn_idx, CAST(6000004 AS BIGINT) AS sid,
+         sup AS sup_after, FALSE AS sup_thresh, TRUE AS xpass FROM arec
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(6000005 AS BIGINT), FALSE, sup, TRUE
+  FROM trec
+  UNION ALL
+  SELECT conv_id, turn_idx, sid, FALSE, FALSE,
+         CASE WHEN sid = 6000006 THEN TRUE
+              ELSE (last_set IS NOT NULL AND epoch < last_set + {_S}) END
+  FROM xb),
+emitted AS (
+  SELECT m.*, COALESCE(f.sup_after, FALSE) AS sup_after,
+         COALESCE(f.sup_thresh, FALSE) AS sup_thresh,
+         COALESCE(f.xpass, TRUE) AS xpass
+  FROM m LEFT JOIN flags f
+    ON m.conv_id = f.conv_id AND m.turn_idx = f.turn_idx AND m.sid = f.sid),
+cls(classtype, class_desc, class_pri) AS (VALUES {_CLS_VALUES})
+"""
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    from sagan_spark.session import ship_package
+    ship_package(spark)   # executor-side imports work from any driver cwd
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in _TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(T_SPARK)
+
+
+@lru_cache(maxsize=1)
+def _ruleset():
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    return compile_ruleset_from_dir(os.path.join(REPO, "rules-entry"))
+
+
+def _matches_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts, split_ignored
+    rs = _ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    kept, _ = split_ignored(parsed, rs.ignore_list)
+    return run_match(kept, rs)
+
+
+def _correlated_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.correlate import run_correlate
+    return run_correlate(_matches_df(spark, sf_dir), _ruleset())
+
+
+# ---------------------------------------------------------------------------
+# queries — Sagan pipeline over derived transcripts
+# ---------------------------------------------------------------------------
+
+def _q_pipeline_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full parse→match→enrich→correlate→route, alert sink."""
+    from sagan_spark.pipeline import run_pipeline
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return res.alerts.select(
+        "conv_id", "turn_idx",
+        F.unix_timestamp("ts").cast("long").alias("epoch"),
+        "sid", "rev", "action", "msg", "classtype", "class_desc",
+        F.col("pri").cast("int").alias("pri"),
+        "ip_src", F.col("src_port").cast("int").alias("src_port"),
+        "ip_dst", F.col("dst_port").cast("int").alias("dst_port"),
+        "proto", "text")
+
+
+def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.pipeline import run_pipeline
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return res.counters
+
+
+def _q_parse_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.parse import malformed_counts, parse_transcripts
+    return malformed_counts(parse_transcripts(_transcripts(spark, sf_dir)))
+
+
+def _q_ignore_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.parse import parse_transcripts, split_ignored
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    _, dropped = split_ignored(parsed, _ruleset().ignore_list)
+    return dropped.select("conv_id", "turn_idx", "text")
+
+
+def _q_match_content_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000001)
+            .select("conv_id", "turn_idx", "sid", "ip_src",
+                    F.col("src_port").cast("int").alias("src_port"), "proto"))
+
+
+def _q_match_pcre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000002)
+            .select("conv_id", "turn_idx", "sid"))
+
+
+def _q_match_meta_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000003)
+            .select("conv_id", "turn_idx"))
+
+
+def _q_match_program_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000009)
+            .select("conv_id", "turn_idx", "ip_src",
+                    F.col("src_port").cast("int").alias("src_port")))
+
+
+def _q_extract_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000008)
+            .select("conv_id", "turn_idx", "hash"))
+
+
+def _q_correlate_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_correlated_df(spark, sf_dir).filter(F.col("sid") == 6000004)
+            .select("conv_id", "turn_idx", "epoch", "suppress_after"))
+
+
+def _q_correlate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_correlated_df(spark, sf_dir).filter(F.col("sid") == 6000005)
+            .select("conv_id", "turn_idx", "epoch", "suppress_thresh"))
+
+
+def _q_correlate_xbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_correlated_df(spark, sf_dir)
+            .filter(F.col("sid").isin(6000006, 6000007))
+            .select("conv_id", "turn_idx", "sid", "xbit_pass"))
+
+
+def _q_enrich_classtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.enrich import enrich_alerts
+    m = _matches_df(spark, sf_dir)
+    return (enrich_alerts(m, spark, _ruleset())
+            .select("conv_id", "turn_idx", "sid", "classtype", "class_desc",
+                    F.col("pri").cast("int").alias("pri")))
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data operators over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic duplicates (doc_id+1000000 for id%10==0) —
+    gives exact-dedup real groups to find."""
+    _register(spark, sf_dir)
+    d = spark.table("documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return d.unionByName(dups)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.dedup import exact_dedup
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.dedup import ngram_jaccard_pairs
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) < 100)
+    return (ngram_jaccard_pairs(docs, threshold=0.8)
+            .select("doc_a", "doc_b",
+                    F.col("jaccard").cast("double").alias("jaccard")))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.text import fingerprint
+    _register(spark, sf_dir)
+    return fingerprint(spark.table("documents")).select("doc_id", "fp_md5")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.text import token_count
+    _register(spark, sf_dir)
+    return token_count(spark.table("documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.text import quality_flags
+    _register(spark, sf_dir)
+    return quality_flags(spark.table("documents"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.text import lang_id
+    _register(spark, sf_dir)
+    return lang_id(spark.table("documents")).select("doc_id", "lang_pred")
+
+
+def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.similarity import brute_force_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return (brute_force_topk(emb, q, k=5)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["pipeline_alerts"] = _PIPE_PRELUDE + """
+SELECT e.conv_id, e.turn_idx, e.epoch, e.sid, e.rev, e.action, e.msg,
+       e.classtype, c.class_desc, CAST(c.class_pri AS INT) AS pri,
+       e.ip_src, e.src_port, e.ip_dst, e.dst_port, e.proto, e.text
+FROM emitted e JOIN cls c ON e.classtype = c.classtype
+WHERE NOT e.sup_after AND NOT e.sup_thresh AND e.xpass
+"""
+
+_ORACLES["sink_counts"] = _PIPE_PRELUDE + f"""
+SELECT (SELECT COUNT(*) FROM p) AS events_received,
+       (SELECT COUNT(*) FROM kept) AS events_processed,
+       (SELECT COUNT(*) FROM dropped) AS ignore_count,
+       (SELECT COUNT(*) FROM emitted WHERE xpass) AS saganfound,
+       (SELECT COUNT(*) FROM emitted
+        WHERE NOT sup_after AND NOT sup_thresh AND xpass) AS alert_total,
+       (SELECT COUNT(*) FROM emitted
+        WHERE sid = 6000004 AND NOT sup_after AND xpass) AS after_total,
+       (SELECT COUNT(*) FROM emitted WHERE sup_thresh AND xpass)
+         AS threshold_total
+"""
+
+_ORACLES["parse_sentinels"] = f"""
+WITH t AS ({T_DUCK})
+SELECT COUNT(*) AS events_received,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS malformed_text,
+       CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS malformed_role,
+       CAST(SUM(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS malformed_tool,
+       CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS malformed_host
+FROM t
+"""
+
+_ORACLES["ignore_routing"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t)
+SELECT conv_id, turn_idx, text FROM p WHERE text LIKE '%{_IGNORE}%'
+"""
+
+_PIPE_M = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, role, COALESCE(text, '') AS text, tool, epoch
+      FROM t),
+kept AS (SELECT * FROM p WHERE text NOT LIKE '%{_IGNORE}%'),
+m AS ({_MATCH_BLOCKS})
+"""
+
+_ORACLES["match_content_ip"] = _PIPE_M + """
+SELECT conv_id, turn_idx, sid, ip_src, src_port, proto
+FROM m WHERE sid = 6000001
+"""
+
+_ORACLES["match_pcre"] = _PIPE_M + """
+SELECT conv_id, turn_idx, sid FROM m WHERE sid = 6000002
+"""
+
+_ORACLES["match_meta_user"] = _PIPE_M + """
+SELECT conv_id, turn_idx FROM m WHERE sid = 6000003
+"""
+
+_ORACLES["match_program_gate"] = _PIPE_M + """
+SELECT conv_id, turn_idx, ip_src, src_port FROM m WHERE sid = 6000009
+"""
+
+_ORACLES["extract_hash"] = _PIPE_M + """
+SELECT conv_id, turn_idx, hash FROM m WHERE sid = 6000008
+"""
+
+_ORACLES["correlate_after"] = _PIPE_PRELUDE + """
+SELECT conv_id, turn_idx, epoch, sup AS suppress_after FROM arec
+"""
+
+_ORACLES["correlate_threshold"] = _PIPE_PRELUDE + """
+SELECT conv_id, turn_idx, epoch, sup AS suppress_thresh FROM trec
+"""
+
+_ORACLES["correlate_xbit"] = _PIPE_PRELUDE + f"""
+SELECT conv_id, turn_idx, sid,
+       CASE WHEN sid = 6000006 THEN TRUE
+            ELSE (last_set IS NOT NULL AND epoch < last_set + {_S}) END
+         AS xbit_pass
+FROM xb
+"""
+
+_ORACLES["enrich_classtype"] = _PIPE_M + f"""
+SELECT m.conv_id, m.turn_idx, m.sid, m.classtype, c.class_desc,
+       CAST(c.class_pri AS INT) AS pri
+FROM m JOIN (VALUES {_CLS_VALUES}) c(classtype, class_desc, class_pri)
+  ON m.classtype = c.classtype
+"""
+
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_ORACLES["dedup_exact"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+k AS (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM d)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY fp) AS group_sz
+FROM k
+"""
+
+_ORACLES["ngram_jaccard"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+dd AS (SELECT doc_id, {_NORM_DUCK} AS norm FROM d WHERE doc_id % 1000000 < 100),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM dd),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM (SELECT doc_id,
+                    UNNEST(list_transform(
+                        generate_series(1, GREATEST(len(tk) - 2, 1)),
+                        i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+             FROM toks)
+       WHERE len(shingle) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+_ORACLES["text_fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_DUCK}) AS fp_md5 FROM documents
+"""
+
+_ORACLES["token_count"] = r"""
+SELECT doc_id,
+       CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                             ' ')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS INT) AS n_tokens_bpe
+FROM documents
+"""
+
+_STOPS = "'the','a','of','and','to','in','is','it','for','on'"
+
+_ORACLES["quality"] = rf"""
+WITH q AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk,
+         CAST(len(text) AS INT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS INT)
+           AS n_punct
+  FROM documents),
+q2 AS (
+  SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, n_chars, n_punct,
+         CAST(len(list_filter(tk, x -> lower(x) IN ({_STOPS}))) AS INT)
+           AS n_stop
+  FROM q)
+SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
+       CAST((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN (n_chars - (n_tokens - 1)) / n_tokens >= 3
+                   AND (n_chars - (n_tokens - 1)) / n_tokens <= 12
+              THEN 1 ELSE 0 END)
+          + (CASE WHEN n_punct * 5 <= n_chars THEN 1 ELSE 0 END)
+          + (CASE WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END) AS INT)
+         AS score_q
+FROM q2
+"""
+
+_LANG_SETS = {
+    "es": "'el','la','de','que','y'",
+    "de": "'der','die','das','und','ist'",
+    "fr": "'le','la','les','et','est'",
+    "zh": "'de5','shi4','le5','zai4','he2'",
+}
+
+_ORACLES["lang_id"] = rf"""
+WITH q AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS tk
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> x IN ({_LANG_SETS['es']}))) AS s_es,
+         len(list_filter(tk, x -> x IN ({_LANG_SETS['de']}))) AS s_de,
+         len(list_filter(tk, x -> x IN ({_LANG_SETS['fr']}))) AS s_fr,
+         len(list_filter(tk, x -> x IN ({_LANG_SETS['zh']}))) AS s_zh
+  FROM q)
+SELECT doc_id,
+       CASE WHEN s_zh > GREATEST(0, s_es, s_de, s_fr) THEN 'zh'
+            WHEN s_fr > GREATEST(0, s_es, s_de) THEN 'fr'
+            WHEN s_de > GREATEST(0, s_es) THEN 'de'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'en' END AS lang_pred
+FROM s
+"""
+
+_ORACLES["knn_brute"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.q_emb, v.emb)
+               / (SQRT(list_dot_product(q.q_emb, q.q_emb))
+                  * SQRT(list_dot_product(v.emb, v.emb))), 6) AS cosine
+  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+        AS rank
+      FROM pairs)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_pipeline_alerts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_alerts": _q_pipeline_alerts,
+        "sink_counts": _q_sink_counts,
+        "parse_sentinels": _q_parse_sentinels,
+        "ignore_routing": _q_ignore_routing,
+        "match_content_ip": _q_match_content_ip,
+        "match_pcre": _q_match_pcre,
+        "match_meta_user": _q_match_meta_user,
+        "match_program_gate": _q_match_program_gate,
+        "extract_hash": _q_extract_hash,
+        "correlate_after": _q_correlate_after,
+        "correlate_threshold": _q_correlate_threshold,
+        "correlate_xbit": _q_correlate_xbit,
+        "enrich_classtype": _q_enrich_classtype,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "text_fingerprint": _q_text_fingerprint,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_brute": _q_knn_brute,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship is the full Sagan-style parse->match->enrich->correlate->route
+pipeline over the events-derived transcripts table; the rest are the
+training-data operators.  Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by tools/bench_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    import __spark_entry__ as E
+    from sagan_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    qs = E.queries()
+    headline = [
+        "pipeline_alerts",       # flagship: full rule-engine pipeline
+        "correlate_after",       # stateful window correlation
+        "dedup_exact",
+        "ngram_jaccard",
+        "text_fingerprint",
+        "token_count",
+        "quality",
+        "lang_id",
+        "knn_brute",
+    ]
+
+    # warm the JVM/session so fixed startup cost isn't charged to q1
+    spark.range(1000).count()
+    n_turns = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        # isolate queries: leftover persisted frames from a previous query
+        # would otherwise skew (or accidentally accelerate) later ones
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows[name] = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    turns_per_sec = round(n_turns / max(times["pipeline_alerts"], 1e-9))
+    print(json.dumps({
+        "metric": "headline query suite wall time "
+                  "(flagship: transcripts rule-pipeline)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "rows": rows,
+        "n_turns": n_turns,
+        "pipeline_turns_per_sec": turns_per_sec,
+        "cpus": cpus,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,10 +33,19 @@ def _h(i: int, t: int) -> int:
     return ((i * 1000003 + t * 7919 + 12345) * _MIX) & 0x7FFFFFFF
 
 
-def make_text(i: int, t: int) -> str:
+def make_text(i: int, t: int, noise_pct: int = 0) -> str:
     """Template bank — selection and parameters are pure functions of the
-    hash so any executor can regenerate any row independently."""
+    hash so any executor can regenerate any row independently.
+
+    ``noise_pct`` (0-100): percentage of turns that are non-matching
+    routine chatter.  The default corpus (0) makes every turn hit ~1.4
+    rules — right for correctness tests, absurd as a workload; bench runs
+    use a realistic match density (e.g. 95% noise ≈ 5% rule-relevant,
+    still far above real-world alert rates)."""
     h = _h(i, t)
+    if noise_pct and (h >> 8) % 100 < noise_pct:
+        return (f"routine operation completed status={h % 17} "
+                f"latency={h % 900}ms worker={h % 64}")
     sel = h % 16
     o1, o2, o3 = 10 + h % 200, (h >> 3) % 256, (h >> 7) % 256
     port = 1024 + h % 50000
@@ -98,12 +107,12 @@ def turn_epoch(i: int, t: int) -> int:
     return BASE_EPOCH + (i % 997) * 53 + t * 20
 
 
-def make_turn(i: int, t: int) -> dict:
+def make_turn(i: int, t: int, noise_pct: int = 0) -> dict:
     return {
         "conv_id": f"conv-{i:08d}",
         "turn_idx": t,
         "role": ROLES[t % 4],
-        "text": make_text(i, t),
+        "text": make_text(i, t, noise_pct),
         "tool": TOOLS[_h(i, t) % 7],
         "ts": datetime.fromtimestamp(turn_epoch(i, t), tz=timezone.utc),
     }
@@ -129,7 +138,8 @@ TRANSCRIPTS_SCHEMA = ("conv_id string, turn_idx int, role string, "
 
 def transcripts_df(spark, n_convs: int, hot_convs: int = 2,
                    hot_len: int = 200, base_len: int = 8,
-                   partitions: int | None = None):
+                   partitions: int | None = None, noise_pct: int = 0,
+                   first_conv: int = 0):
     """Distributed transcripts generation: ``spark.range(n_convs)`` →
     ``mapInPandas`` expanding each conversation into its turns with the
     exact same arithmetic as :func:`gen_rows`.  Narrow (no shuffle); any
@@ -144,12 +154,12 @@ def transcripts_df(spark, n_convs: int, hot_convs: int = 2,
                                    "tool", "ts")}
             for i in pdf["id"].tolist():
                 for t in range(n_turns(i, hot_convs, hot_len, base_len)):
-                    row = make_turn(i, t)
+                    row = make_turn(i, t, noise_pct)
                     for k, v in row.items():
                         out[k].append(v)
             yield pd.DataFrame(out)
 
-    rng = spark.range(n_convs)
+    rng = spark.range(first_conv, first_conv + n_convs)
     if partitions:
         rng = rng.repartition(partitions)
     return rng.mapInPandas(expand, schema=TRANSCRIPTS_SCHEMA)

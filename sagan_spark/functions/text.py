@@ -65,14 +65,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality_score", F.round(score, 2)))
 
 
+def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-exact variant of :func:`quality_score` for cross-engine
+    oracle equality: raw counts plus ``score_q`` = number of passed
+    heuristics (0-4).  No fractional rounding anywhere, so a DuckDB oracle
+    matches bit-for-bit."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^A-Za-z0-9_\s]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    mean_wl = (n_chars - (n_tok - 1)) / n_tok
+    score_q = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 1).otherwise(0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 12), 1).otherwise(0)
+        + F.when(n_punct * 5 <= n_chars, 1).otherwise(0)          # ratio<=0.2
+        + F.when(n_stop * 20 >= n_tok, 1).otherwise(0)            # ratio>=0.05
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        score_q.cast("int").alias("score_q"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language-ID heuristic: count hits per language's marker
     set over whitespace tokens, argmax with 'en' fallback.  Deterministic
     and SQL-expressible (the real-world version swaps in fastText — this
     is the Spark plumbing with an honest heuristic)."""
     toks = tokenize(F.lower(F.col(text_col)))
+
+    def _marker_pred(markers):
+        # single-arg lambda: a 2-arg lambda would be called as (element, index)
+        return lambda t: t.isin(*markers)
+
     scores = [
-        F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))).alias(lang)
+        F.size(F.filter(toks, _marker_pred(markers))).alias(lang)
         for lang, markers in LANG_MARKERS
     ]
     out = df

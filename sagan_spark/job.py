@@ -24,12 +24,17 @@ def main(argv=None) -> int:
     ap.add_argument("--input", default=None,
                     help="transcripts parquet path (else synthesized)")
     ap.add_argument("--convs", type=int, default=10000)
+    ap.add_argument("--noise", type=int, default=0,
+                    help="datagen noise percentage (non-matching turns)")
     ap.add_argument("--out", default="/tmp/sagan_spark_out")
     ap.add_argument("--units", type=int, default=8)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--checkpointed", action="store_true",
                     help="unit-by-unit with lineage/resume")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the pipeline once untimed first (JIT/worker "
+                         "warm) and report the steady-state second run")
     args = ap.parse_args(argv)
 
     from .checkpoint import run_with_checkpoint
@@ -40,11 +45,29 @@ def main(argv=None) -> int:
     from .sinks import write_sink
 
     spark = get_spark("sagan_spark_job", cores=args.cores)
+    # Split sizing: target ~4 task waves per core on the scan+match stage.
+    # The 128 MB cluster default is right at real table sizes; at sandbox
+    # input sizes it yields fewer tasks than cores (idle cores on the
+    # heaviest stage), so derive the split size from the actual input.
+    if args.input:
+        total = sum(os.path.getsize(os.path.join(r, f))
+                    for path in args.input.split(",")
+                    for r, _, fs in os.walk(path) for f in fs)
+        split = min(128 * 1024 * 1024,
+                    max(2 * 1024 * 1024, total // (4 * (args.cores or 8))))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     ruleset = compile_ruleset_from_dir(args.rules)
     if args.input:
-        transcripts = spark.read.parquet(args.input)
+        transcripts = spark.read.parquet(*args.input.split(","))
     else:
-        transcripts = transcripts_df(spark, args.convs)
+        transcripts = transcripts_df(spark, args.convs,
+                                     noise_pct=args.noise)
+
+    if args.warmup and not args.checkpointed:
+        warm = run_pipeline(spark, transcripts, ruleset)
+        write_sink(warm.alerts, os.path.join(args.out, "_warmup"))
+        warm.counters.collect()
+        spark.catalog.clearCache()
 
     t0 = time.time()
     if args.checkpointed:

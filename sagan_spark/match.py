@@ -107,6 +107,14 @@ class _RuleProgram:
             rule.parse_hash or rule.parse_proto or rule.parse_proto_program
             or rule.normalize or not rule.head.all_any or rule.blacklist
             or rule.after or rule.threshold or rule.xbits)
+        # rows of a "complex" rule need the per-row extract/flow/gate loop;
+        # everything else (incl. rules that only need correlation keys from
+        # the conv_id fallback) is assembled fully vectorized
+        self.complex = bool(
+            rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port or
+            rule.parse_hash or rule.parse_proto or rule.parse_proto_program
+            or rule.normalize or not rule.head.all_any or rule.blacklist
+            or rule.alert_time is not None)
 
     # -- vectorized predicates ------------------------------------------------
 
@@ -122,37 +130,161 @@ class _RuleProgram:
             ok = role.iloc[alive].isin(arg).to_numpy()
         return alive[ok]
 
-    def alive_after_body(self, alive: np.ndarray,
-                         text: pd.Series) -> np.ndarray:
+    def alive_after_body(self, alive: np.ndarray, text: pd.Series,
+                         masks: "_MaskCache") -> np.ndarray:
         for (start, stop), c in self.contents:
             if alive.size == 0:
                 return alive
-            region = text.iloc[alive].str.slice(start, stop)
-            if c.nocase:
-                hit = region.str.lower().str.contains(
-                    c.pattern.lower(), regex=False)
-            else:
-                hit = region.str.contains(c.pattern, regex=False)
-            hit = hit.to_numpy(dtype=bool, na_value=False)
-            alive = alive[~hit] if c.negated else alive[hit]
+            hit = masks.content(c.pattern, c.nocase, start, stop)
+            alive = alive[~hit[alive]] if c.negated else alive[hit[alive]]
         for rx in self.pcres:
             if alive.size == 0:
                 return alive
-            hit = text.iloc[alive].str.contains(rx).to_numpy(
-                dtype=bool, na_value=False)
-            alive = alive[hit]
+            alive = alive[masks.regex(rx)[alive]]
         for (start, stop), alt_rx, negated in self.metas:
             if alive.size == 0:
                 return alive
-            region = text.iloc[alive].str.slice(start, stop)
-            hit = region.str.contains(alt_rx).to_numpy(
-                dtype=bool, na_value=False)
-            alive = alive[~hit] if negated else alive[hit]
+            hit = masks.regex_window(alt_rx, start, stop)
+            alive = alive[~hit[alive]] if negated else alive[hit[alive]]
         return alive
+
+
+class _MaskCache:
+    """Per-batch memo of predicate masks over the FULL batch.
+
+    Deployed rulesets share predicates heavily (many signatures test the
+    same program/service literal); evaluating each *distinct*
+    (pattern, window, nocase) once per Arrow batch and letting rules
+    intersect numpy bool masks turns O(rules × contents) pandas scans
+    into O(distinct predicates) — the multi-pattern grouping of
+    SURVEY §4.3 in its python half (the JVM half is candidate_filter)."""
+
+    __slots__ = ("text", "_cache", "_regions")
+
+    def __init__(self, text: pd.Series):
+        self.text = text
+        self._cache: dict = {}
+        self._regions: dict = {}
+
+    def _region(self, start: int, stop) -> pd.Series:
+        if (start, stop) == (0, None):
+            return self.text
+        key = (start, stop)
+        r = self._regions.get(key)
+        if r is None:
+            r = self._regions[key] = self.text.str.slice(start, stop)
+        return r
+
+    def content(self, pattern: str, nocase: bool, start: int,
+                stop) -> np.ndarray:
+        key = ("c", pattern, nocase, start, stop)
+        m = self._cache.get(key)
+        if m is None:
+            region = self._region(start, stop)
+            if nocase:
+                hit = region.str.lower().str.contains(
+                    pattern.lower(), regex=False)
+            else:
+                hit = region.str.contains(pattern, regex=False)
+            m = self._cache[key] = hit.to_numpy(dtype=bool, na_value=False)
+        return m
+
+    def regex(self, rx) -> np.ndarray:
+        key = ("r", rx.pattern, rx.flags)
+        m = self._cache.get(key)
+        if m is None:
+            m = self._cache[key] = self.text.str.contains(rx).to_numpy(
+                dtype=bool, na_value=False)
+        return m
+
+    def regex_window(self, rx, start: int, stop) -> np.ndarray:
+        key = ("rw", rx.pattern, rx.flags, start, stop)
+        m = self._cache.get(key)
+        if m is None:
+            m = self._cache[key] = self._region(start, stop).str.contains(
+                rx).to_numpy(dtype=bool, na_value=False)
+        return m
 
 
 def compile_programs(ruleset: RuleSet) -> list[_RuleProgram]:
     return [_RuleProgram(i, r) for i, r in enumerate(ruleset.rules)]
+
+
+# ---------------------------------------------------------------------------
+# JVM-side candidate prefilter (the grouped multi-pattern prefilter of
+# SURVEY §4.3, pushed into Catalyst instead of Python)
+# ---------------------------------------------------------------------------
+
+_JAVA_UNSAFE = ("(?P", "(?(", "\\x{", "*+", "++", "?+")
+
+
+def _java_safe_regex(pattern: str) -> bool:
+    """True when the python-re pattern is also a valid, equivalent Java
+    regex (rlike).  Conservative allowlist by exclusion of the python-only
+    / pcre-only constructs our compiler can emit."""
+    return not any(tok in pattern for tok in _JAVA_UNSAFE)
+
+
+def _rule_prefilter(rule):
+    """A Catalyst predicate satisfied by every row `rule` could match, or
+    None when no conservative predicate exists (e.g. only negated
+    contents).  Uses the rule's cheapest positive body pattern; window
+    modifiers (offset/depth/...) only shrink the match region, so a plain
+    contains is a sound superset."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    for c in rule.contents:
+        if not c.negated:
+            return (F.lower(F.col("text")).contains(c.pattern.lower())
+                    if c.nocase else F.col("text").contains(c.pattern))
+    for m in rule.meta_contents:
+        if not m.negated and m.alternatives:
+            pred = None
+            for a in m.alternatives:
+                p = (F.lower(F.col("text")).contains(a.lower())
+                     if m.nocase else F.col("text").contains(a))
+                pred = p if pred is None else (pred | p)
+            return pred
+    for p in rule.pcres:
+        if _java_safe_regex(p.pattern):
+            prefix = ""
+            if p.flags & _re.I:
+                prefix += "(?i)"
+            if p.flags & _re.S:
+                prefix += "(?s)"
+            if p.flags & _re.M:
+                prefix += "(?m)"
+            return F.col("text").rlike(prefix + p.pattern)
+    return None
+
+
+def candidate_filter(ruleset: RuleSet):
+    """OR of per-rule prefilters — rows matching none can be dropped
+    BEFORE the Arrow boundary, so at realistic alert densities only a few
+    percent of the table is ever serialized into Python.  Returns None
+    (no filtering possible) if any rule lacks a positive predicate."""
+    pred = None
+    for r in ruleset.rules:
+        p = _rule_prefilter(r)
+        if p is None:
+            return None
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _vec_track_key(tracks, ip_src, src_port, ip_dst, dst_port, user,
+                   n: int) -> list[str]:
+    """Vectorized-ish track_key (semantics.track_key) over per-rule match
+    arrays; components not tracked collapse to constants."""
+    srcs = ip_src if "by_src" in tracks else ("",) * n
+    dsts = ip_dst if "by_dst" in tracks else ("",) * n
+    users = user if "by_username" in tracks else ("",) * n
+    sports = src_port if "by_srcport" in tracks else (0,) * n
+    dports = dst_port if "by_dstport" in tracks else (0,) * n
+    return [f"{s}|{sp}|{d}|{dp}|{u}" for s, sp, d, dp, u in
+            zip(srcs, sports, dsts, dports, users)]
 
 
 def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
@@ -165,7 +297,6 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
     role = pdf["role"].astype("string").fillna("").astype(str)
     all_rows = np.arange(n)
     prim: dict[int, PrimCache] = {}   # per-event parse-once cache
-    cols: dict[str, list] = {c: [] for c in _OUT_COLS}
 
     conv_np = pdf["conv_id"].to_numpy()
     turn_np = pdf["turn_idx"].to_numpy()
@@ -175,17 +306,24 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
     tool_np = tool.to_numpy()
     text_np = text.to_numpy()
 
+    frames: list[dict] = []
+    masks = _MaskCache(text)
     for prog in programs:
         alive = prog.alive_after_gates(all_rows, tool, role)
-        alive = prog.alive_after_body(alive, text)
+        alive = prog.alive_after_body(alive, text, masks)
         if alive.size == 0:
             continue
         rule = prog.rule
         cls = ruleset.classifications.get(rule.classtype,
                                           ("", rule.priority))
         pri = rule.priority or cls[1]
-        for i in alive.tolist():
-            if prog.needs_extract:
+
+        if prog.complex:
+            # per-row path: extraction + flow/alert_time/blacklist gates
+            keep, ip_src, src_port, ip_dst, dst_port = [], [], [], [], []
+            proto, username, hsh = [], [], []
+            ts_col = pdf["ts"]
+            for i in alive.tolist():
                 pc = prim.get(i)
                 if pc is None:
                     pc = prim[i] = PrimCache(text_np[i], tool_np[i])
@@ -193,50 +331,85 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
                                       default_port, default_proto)
                 if not flow_pass(rule, ex):
                     continue
-            else:
-                ex = {"ip_src": conv_np[i], "src_port": default_port,
-                      "ip_dst": conv_np[i], "dst_port": default_port,
-                      "proto": default_proto, "username": "", "hash": ""}
-            if rule.alert_time is not None and not alert_time_pass(
-                    rule.alert_time, pdf["ts"].iloc[i]):
+                if rule.alert_time is not None and not alert_time_pass(
+                        rule.alert_time, ts_col.iloc[i]):
+                    continue
+                if rule.blacklist and not (
+                        blacklist_hit(ex["ip_src"],
+                                      ruleset.blacklist_ranges) or
+                        blacklist_hit(ex["ip_dst"],
+                                      ruleset.blacklist_ranges)):
+                    continue
+                keep.append(i)
+                ip_src.append(ex["ip_src"])
+                src_port.append(ex["src_port"])
+                ip_dst.append(ex["ip_dst"])
+                dst_port.append(ex["dst_port"])
+                proto.append(ex["proto"])
+                username.append(ex["username"])
+                hsh.append(ex["hash"])
+            if not keep:
                 continue
-            if rule.blacklist and not (
-                    blacklist_hit(ex["ip_src"], ruleset.blacklist_ranges) or
-                    blacklist_hit(ex["ip_dst"], ruleset.blacklist_ranges)):
-                continue
-            cols["conv_id"].append(conv_np[i])
-            cols["turn_idx"].append(turn_np[i])
-            cols["role"].append(role_np[i])
-            cols["text"].append(text_np[i])
-            cols["tool"].append(tool_np[i])
-            cols["ts"].append(ts_np[i])
-            cols["epoch"].append(int(epoch_np[i]))
-            cols["rule_idx"].append(prog.idx)
-            cols["sid"].append(rule.sid)
-            cols["rev"].append(rule.rev)
-            cols["action"].append(rule.head.action)
-            cols["msg"].append(rule.msg)
-            cols["classtype"].append(rule.classtype)
-            cols["pri"].append(pri)
-            cols["ip_src"].append(ex["ip_src"])
-            cols["src_port"].append(ex["src_port"])
-            cols["ip_dst"].append(ex["ip_dst"])
-            cols["dst_port"].append(ex["dst_port"])
-            cols["proto"].append(ex["proto"])
-            cols["username"].append(ex["username"])
-            cols["hash"].append(ex["hash"])
-            cols["after_key"].append(
-                track_key(rule.after.tracks, ex) if rule.after else None)
-            cols["thresh_key"].append(
-                track_key(rule.threshold.tracks, ex)
-                if rule.threshold else None)
-            cols["xbit_key"].append(
-                xbit_track_value(rule.xbits[0].track, ex)
-                if rule.xbits else None)
-    out = pd.DataFrame(cols)
+            alive = np.asarray(keep, dtype=np.int64)
+            m = len(keep)
+        else:
+            # fully vectorized: fallback addressing only (engine.c:967-1045)
+            m = int(alive.size)
+            ip_src = conv_np[alive]
+            src_port = np.full(m, default_port, dtype=np.int32)
+            ip_dst = ip_src
+            dst_port = src_port
+            proto = np.full(m, default_proto, dtype=object)
+            username = np.full(m, "", dtype=object)
+            hsh = np.full(m, "", dtype=object)
+
+        out = {
+            "conv_id": conv_np[alive],
+            "turn_idx": turn_np[alive],
+            "role": role_np[alive],
+            "text": text_np[alive],
+            "tool": tool_np[alive],
+            "ts": ts_np[alive],
+            "epoch": epoch_np[alive],
+            "rule_idx": np.full(m, prog.idx, dtype=np.int32),
+            "sid": np.full(m, rule.sid, dtype=np.int64),
+            "rev": np.full(m, rule.rev, dtype=np.int32),
+            "action": np.full(m, rule.head.action, dtype=object),
+            "msg": np.full(m, rule.msg, dtype=object),
+            "classtype": np.full(m, rule.classtype, dtype=object),
+            "pri": np.full(m, pri, dtype=np.int32),
+            "ip_src": np.asarray(ip_src, dtype=object),
+            "src_port": np.asarray(src_port, dtype=np.int32),
+            "ip_dst": np.asarray(ip_dst, dtype=object),
+            "dst_port": np.asarray(dst_port, dtype=np.int32),
+            "proto": np.asarray(proto, dtype=object),
+            "username": np.asarray(username, dtype=object),
+            "hash": np.asarray(hsh, dtype=object),
+            "after_key": _vec_track_key(
+                rule.after.tracks, ip_src, src_port, ip_dst, dst_port,
+                username, m) if rule.after else np.full(m, None, object),
+            "thresh_key": _vec_track_key(
+                rule.threshold.tracks, ip_src, src_port, ip_dst, dst_port,
+                username, m) if rule.threshold else np.full(m, None, object),
+            "xbit_key": (
+                [xbit_track_value(rule.xbits[0].track,
+                                  {"ip_src": s, "ip_dst": d})
+                 for s, d in zip(ip_src, ip_dst)]
+                if rule.xbits else np.full(m, None, object)),
+        }
+        frames.append(out)
+
+    if not frames:
+        out = pd.DataFrame({c: [] for c in _OUT_COLS})
+    else:
+        out = pd.DataFrame({
+            c: np.concatenate([np.asarray(f[c], dtype=object)
+                               if not isinstance(f[c], np.ndarray)
+                               or f[c].dtype == object
+                               else f[c] for f in frames])
+            for c in _OUT_COLS})
     for c, dt in _DTYPES.items():
-        out[c] = out[c].astype(dt) if len(out) else \
-            pd.Series([], dtype=dt)
+        out[c] = out[c].astype(dt) if len(out) else pd.Series([], dtype=dt)
     return out
 
 
@@ -257,9 +430,16 @@ def build_matcher(ruleset: RuleSet, default_port: int = DEFAULT_PORT,
 def run_match(parsed_df, ruleset: RuleSet,
               default_port: int = DEFAULT_PORT,
               default_proto: str = DEFAULT_PROTO):
-    """parsed transcripts → exploded (event × matched rule) DataFrame."""
+    """parsed transcripts → exploded (event × matched rule) DataFrame.
+
+    Plan shape: column-pruned projection → JVM-side candidate prefilter
+    (codegen'd contains/rlike disjunction — rows that can't match any rule
+    never cross the Arrow boundary) → vectorized matcher."""
     needed = parsed_df.select("conv_id", "turn_idx", "role", "text",
                               "tool", "ts", "epoch")
+    pref = candidate_filter(ruleset)
+    if pref is not None:
+        needed = needed.filter(pref)
     return needed.mapInPandas(
         build_matcher(ruleset, default_port, default_proto),
         schema=MATCH_SCHEMA)

@@ -60,16 +60,23 @@ def malformed_counts(parsed: DataFrame) -> DataFrame:
     )
 
 
-def split_ignored(parsed: DataFrame, ignore_list: tuple[str, ...]
-                  ) -> tuple[DataFrame, DataFrame]:
-    """Ignore-list short-circuit (src/sagan.c:1230-1248) as a Spark-native
-    filter: substring alternation evaluated JVM-side so Catalyst can place
-    it directly above the scan (column-pruned, codegen'd).  Returns
-    (kept, dropped)."""
+def ignore_condition(ignore_list: tuple[str, ...]):
+    """Ignore-list predicate (src/sagan.c:1230-1248) as a JVM-side
+    substring alternation — codegen'd, pushable right above the scan."""
     if not ignore_list:
-        return parsed, parsed.limit(0)
+        return F.lit(False)
     cond = None
     for s in ignore_list:
         c = F.col("text").contains(F.lit(s))
         cond = c if cond is None else (cond | c)
+    return cond
+
+
+def split_ignored(parsed: DataFrame, ignore_list: tuple[str, ...]
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Ignore-list short-circuit as a Spark-native filter.  Returns
+    (kept, dropped)."""
+    if not ignore_list:
+        return parsed, parsed.limit(0)
+    cond = ignore_condition(ignore_list)
     return parsed.filter(~cond), parsed.filter(cond)

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from .correlate import run_correlate
 from .enrich import enrich_alerts
 from .match import run_match
-from .parse import malformed_counts, parse_transcripts, split_ignored
+from .parse import (
+    ignore_condition,
+    malformed_counts,
+    parse_transcripts,
+    split_ignored,
+)
 from .route import (
     alert_sink,
     drop_sink,
@@ -53,10 +58,15 @@ class PipelineResult:
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  ruleset: RuleSet) -> PipelineResult:
+    from pyspark import StorageLevel
+
     parsed = parse_transcripts(transcripts)
     kept, dropped = split_ignored(parsed, ruleset.ignore_list)
     matches = run_match(kept, ruleset)
-    correlated = run_correlate(matches, ruleset)
+    # every sink + the counters consume `correlated`; persist so the four
+    # sink actions share one computation of the match/correlate stages
+    correlated = run_correlate(matches, ruleset) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     alerts = enrich_alerts(alert_sink(correlated, ruleset), spark, ruleset)
     # re-order columns for a stable sink schema
     alerts = alerts.select(
@@ -68,7 +78,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         eve_alerts=eve_alert_sink(correlated, ruleset),
         eve_logs=eve_log_sink(kept),
         drops=drop_sink(dropped),
-        counters=sink_counts(correlated, kept, dropped, ruleset),
+        counters=sink_counts(correlated, parsed,
+                             ignore_condition(ruleset.ignore_list), ruleset),
         malformed=malformed_counts(parsed),
         correlated=correlated,
     )

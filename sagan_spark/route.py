@@ -102,12 +102,16 @@ def drop_sink(dropped: DataFrame) -> DataFrame:
     return dropped.select("conv_id", "turn_idx", "ts", "text")
 
 
-def sink_counts(correlated: DataFrame, kept: DataFrame,
-                dropped: DataFrame, ruleset=None) -> DataFrame:
+def sink_counts(correlated: DataFrame, parsed: DataFrame,
+                ignore_cond, ruleset=None) -> DataFrame:
     """The counter block (src/sagan.h:194-345, stats.c:109-114):
     one aggregate row.  saganfound counts gated matches pre-suppression
     (engine.c:1543); after_total counts after-rule fires (after.c:147);
-    threshold_total counts threshold suppressions (threshold.c:147)."""
+    threshold_total counts threshold suppressions (threshold.c:147).
+
+    The received/processed/ignored triple is ONE conditional aggregation
+    pass over the parsed frame (map-side partial agg) — not separate
+    kept/dropped scans, which would each recompute the upstream."""
     noalert = [r.sid for r in ruleset.rules if r.noalert] if ruleset else []
     gated = correlated.filter(F.col("xbit_pass"))
     is_emitted = ~F.col("suppress_after") & ~F.col("suppress_thresh")
@@ -121,12 +125,15 @@ def sink_counts(correlated: DataFrame, kept: DataFrame,
         F.sum(F.when(is_emitted & ~F.col("sid").isin(noalert or [-1]),
                      1).otherwise(0)).alias("alert_total"),
     )
-    base = kept.agg(F.count("*").alias("events_processed")).crossJoin(
-        dropped.agg(F.count("*").alias("ignore_count")))
+    base = parsed.agg(
+        F.count("*").alias("events_received"),
+        F.sum(F.when(ignore_cond, 1).otherwise(0)).alias("ignore_count"))
     return base.crossJoin(agg).select(
-        (F.col("events_processed") + F.col("ignore_count")
-         ).alias("events_received"),
-        "events_processed", "ignore_count", "saganfound",
+        "events_received",
+        (F.col("events_received") - F.coalesce("ignore_count", F.lit(0))
+         ).alias("events_processed"),
+        F.coalesce("ignore_count", F.lit(0)).alias("ignore_count"),
+        "saganfound",
         F.coalesce("alert_total", F.lit(0)).alias("alert_total"),
         F.coalesce("after_total", F.lit(0)).alias("after_total"),
         F.coalesce("threshold_total", F.lit(0)).alias("threshold_total"),

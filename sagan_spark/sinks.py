@@ -27,7 +27,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def write_sink(df: DataFrame, path_or_table: str,
-               bucket_col: str | None = "conv_id", n_buckets: int = 16,
+               bucket_col: str | None = "conv_id", n_buckets: int = 128,
                mode: str = "overwrite") -> None:
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in path_or_table:
@@ -35,9 +35,14 @@ def write_sink(df: DataFrame, path_or_table: str,
          .createOrReplace())
         return
     if bucket_col and bucket_col in df.columns:
+        # cluster rows by bucket(conv_id) with ONE shuffle into n_buckets
+        # files — the parquet analog of Iceberg's bucket transform.  (A
+        # directory partitionBy("bucket") would write tasks×buckets small
+        # files and sort per task — measurably slower and worse to scan.)
         df = df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_col)),
                              F.lit(n_buckets)).cast("int"))
-        df.write.mode(mode).partitionBy("bucket").parquet(path_or_table)
+        (df.repartition(n_buckets, F.col("bucket"))
+         .write.mode(mode).parquet(path_or_table))
     else:
         df.write.mode(mode).parquet(path_or_table)

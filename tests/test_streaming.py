@@ -1,0 +1,105 @@
+"""Streaming variant: replaying the transcript files through the
+Structured Streaming pipeline must reproduce the batch engine's emitted
+set (same rows, same suppression decisions), including when the input
+arrives split across multiple micro-batches with state carried in the
+GroupState between them."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sagan_spark.correlate import run_correlate
+from sagan_spark.datagen import gen_rows
+from sagan_spark.match import run_match
+from sagan_spark.parse import parse_transcripts, split_ignored
+from sagan_spark.rules.compiler import compile_ruleset_from_dir
+from sagan_spark.streaming import read_transcript_stream, streaming_alerts
+
+EMIT_COLS = ["conv_id", "turn_idx", "sid", "suppress_after",
+             "suppress_thresh", "xbit_pass"]
+
+
+@pytest.fixture(scope="module")
+def ruleset():
+    return compile_ruleset_from_dir(
+        os.path.join(os.path.dirname(__file__), "..", "rules-entry"))
+
+
+def _batch_result(spark, rows, ruleset) -> pd.DataFrame:
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    parsed = parse_transcripts(df)
+    kept, _ = split_ignored(parsed, ruleset.ignore_list)
+    corr = run_correlate(run_match(kept, ruleset), ruleset)
+    return (corr.select(*EMIT_COLS).toPandas()
+            .sort_values(EMIT_COLS).reset_index(drop=True))
+
+
+def _stream_result(spark, in_dir, ruleset, max_files) -> pd.DataFrame:
+    stream = read_transcript_stream(spark, in_dir, max_files=max_files)
+    corr = streaming_alerts(spark, stream, ruleset)
+    q = (corr.select(*EMIT_COLS).writeStream
+         .format("memory").queryName("stream_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table("stream_out").toPandas()
+            .sort_values(EMIT_COLS).reset_index(drop=True))
+
+
+def _write_chunks(spark, rows, out_dir, n_chunks):
+    """Chunk by turn ranges so arrival order == epoch order per conv
+    (mirrors tail-ing a live log), with distinct mtimes so the file
+    source replays chunks in order."""
+    pdf = pd.DataFrame(rows)
+    bounds = sorted(pdf["turn_idx"].unique())
+    per = max(1, len(bounds) // n_chunks)
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(n_chunks):
+        lo = k * per
+        hi = (k + 1) * per if k < n_chunks - 1 else 10 ** 9
+        chunk = pdf[(pdf["turn_idx"] >= lo) & (pdf["turn_idx"] < hi)]
+        if not len(chunk):
+            continue
+        (spark.createDataFrame(chunk)
+         .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+         .coalesce(1).write.mode("append").parquet(out_dir))
+        time.sleep(1.1)  # distinct mtime ordering for the file source
+
+
+def test_stream_equals_batch_single_microbatch(spark, ruleset, tmp_path):
+    rows = gen_rows(40)
+    in_dir = str(tmp_path / "stream_in1")
+    (spark.createDataFrame(pd.DataFrame(rows))
+     .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+     .write.parquet(in_dir))
+    batch = _batch_result(spark, rows, ruleset)
+    stream = _stream_result(spark, in_dir, ruleset, max_files=100)
+    pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_stream_equals_batch_across_microbatches(spark, ruleset, tmp_path):
+    rows = gen_rows(12)
+    in_dir = str(tmp_path / "stream_in2")
+    _write_chunks(spark, rows, in_dir, n_chunks=3)
+    batch = _batch_result(spark, rows, ruleset)
+    stream = _stream_result(spark, in_dir, ruleset, max_files=1)
+    pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_streaming_rejects_ip_keyed_rules(spark, ruleset, tmp_path):
+    from sagan_spark.rules.compiler import compile_ruleset
+    rs = compile_ruleset(
+        'alert syslog any any -> any any (msg:"x"; content:"a"; '
+        "parse_src_ip: 1; after: track by_src, count 2, seconds 60; "
+        "classtype:misc-attack; sid:9; rev:1;)")
+    empty = str(tmp_path / "empty_in")
+    os.makedirs(empty, exist_ok=True)
+    with pytest.raises(ValueError):
+        streaming_alerts(spark, read_transcript_stream(spark, empty), rs)
