@@ -162,6 +162,20 @@ _MATCH_BLOCKS = f"""
          conv_id, 514, 'udp', ''
   FROM kept WHERE text LIKE '%connection from%'
              AND regexp_full_match(tool, '(error|view.*)')
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000010 AS BIGINT), 1, 'alert',
+         'E10 windowed login', 'suspicious-login',
+         conv_id, 514, conv_id, 514, 'udp', ''
+  FROM kept WHERE substr(text, 9, 13) LIKE '%login%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, text, CAST(6000011 AS BIGINT), 1, 'alert',
+         'E11 lan conn', 'not-suspicious',
+         regexp_extract(text, 'from ({_IP4}):', 1),
+         CAST(regexp_extract(text, ':([0-9]+)', 1) AS INT),
+         conv_id, 514, 'udp', ''
+  FROM kept WHERE text LIKE '%connection from 192.168.%'
+             AND CAST(regexp_extract(text, ':([0-9]+)', 1) AS INT)
+                 BETWEEN 1024 AND 30000
 """
 
 # full-pipeline oracle prelude: transcripts → parsed → kept/dropped →
@@ -422,6 +436,100 @@ def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank")))
 
 
+def _q_match_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000010)
+            .select("conv_id", "turn_idx", "sid"))
+
+
+def _q_flow_targeting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_matches_df(spark, sf_dir).filter(F.col("sid") == 6000011)
+            .select("conv_id", "turn_idx", "ip_src",
+                    F.col("src_port").cast("int").alias("src_port")))
+
+
+def _q_track_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 analog (processors/track-clients.c:72-367): per-source last-seen."""
+    from sagan_spark.parse import parse_transcripts
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return parsed.groupBy("conv_id").agg(
+        F.max("epoch").alias("last_seen"),
+        F.count("*").alias("n_turns"))
+
+
+def _q_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 analog (processors/client-stats.c:199-286): per-source volume."""
+    from sagan_spark.parse import parse_transcripts
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return parsed.groupBy("conv_id").agg(
+        F.count("*").alias("n_msgs"),
+        F.min("epoch").alias("first_seen"),
+        F.sum(F.length("text")).alias("bytes"))
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.dedup import minhash_signatures
+    _register(spark, sf_dir)
+    sig = minhash_signatures(spark.table("documents").select("doc_id", "text"))
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("m0"), F.col("sig")[1].alias("m1"),
+        F.col("sig")[2].alias("m2"), F.col("sig")[3].alias("m3"))
+
+
+_MEDIA_KIND = ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+               "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → opaque-binary media table (text bytes as the payload
+    stand-in; schema/plumbing identical to a real media lake)."""
+    _register(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
+               CAST(text AS BINARY) AS payload,
+               'application/x-fake' AS mime,
+               CAST(32 + doc_id % 8 AS INT) AS width,
+               CAST(24 + doc_id % 6 AS INT) AS height,
+               CAST(1000 + doc_id * 10 AS INT) AS duration_ms
+        FROM documents""")
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.multimodal import media_metadata
+    return media_metadata(_media_df(spark, sf_dir))
+
+
+# -- rows-only coverage (no SQL-expressible oracle: engine-specific hashes,
+#    approximate ANN, pandas-UDF media decode, JSON rendering) -------------
+
+def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.dedup import simhash
+    _register(spark, sf_dir)
+    return simhash(spark.table("documents").select("doc_id", "text"))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.similarity import lsh_ann_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, q, k=5)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.functions.multimodal import extract_features
+    return (extract_features(_media_df(spark, sf_dir))
+            .select("media_id", "kind",
+                    F.round(F.element_at("features", 1), 6).alias("f0")))
+
+
+def _q_eve_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.pipeline import run_pipeline, to_eve_json
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return to_eve_json(res.eve_alerts)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -627,6 +735,66 @@ SELECT doc_id,
 FROM s
 """
 
+_ORACLES["match_offset_window"] = _PIPE_M + """
+SELECT conv_id, turn_idx, sid FROM m WHERE sid = 6000010
+"""
+
+_ORACLES["flow_targeting"] = _PIPE_M + """
+SELECT conv_id, turn_idx, ip_src, src_port FROM m WHERE sid = 6000011
+"""
+
+_ORACLES["track_clients"] = f"""
+WITH t AS ({T_DUCK})
+SELECT conv_id, MAX(epoch) AS last_seen, COUNT(*) AS n_turns
+FROM t GROUP BY conv_id
+"""
+
+_ORACLES["client_stats"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, epoch, COALESCE(text, '') AS text FROM t)
+SELECT conv_id, COUNT(*) AS n_msgs, MIN(epoch) AS first_seen,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS bytes
+FROM p GROUP BY conv_id
+"""
+
+
+def _minhash_oracle() -> str:
+    from sagan_spark.functions.dedup import _A, _B, _H_MOD, _P
+    mins = ", ".join(
+        f"CAST(MIN((hv * {_A[i]} + {_B[i]}) % {_P}) AS BIGINT) AS m{i}"
+        for i in range(4))
+    return rf"""
+WITH d AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM d),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM (SELECT doc_id,
+                    UNNEST(list_transform(
+                        generate_series(1, GREATEST(len(tk) - 2, 1)),
+                        i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+             FROM toks)
+       WHERE len(shingle) > 0),
+h AS (SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT)
+                  % {_H_MOD} AS BIGINT) AS hv
+      FROM sh)
+SELECT doc_id, {mins} FROM h GROUP BY doc_id
+"""
+
+
+_ORACLES["minhash_sig"] = _minhash_oracle()
+
+_ORACLES["media_metadata"] = f"""
+SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
+       'application/x-fake' AS mime,
+       CAST(32 + doc_id % 8 AS INT) AS width,
+       CAST(24 + doc_id % 6 AS INT) AS height,
+       CAST(1000 + doc_id * 10 AS INT) AS duration_ms,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+FROM documents
+"""
+
 _ORACLES["knn_brute"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings),
@@ -676,6 +844,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "knn_brute": _q_knn_brute,
+        "match_offset_window": _q_match_offset_window,
+        "flow_targeting": _q_flow_targeting,
+        "track_clients": _q_track_clients,
+        "client_stats": _q_client_stats,
+        "minhash_sig": _q_minhash_sig,
+        "media_metadata": _q_media_metadata,
+        # rows-only (no SQL-expressible oracle; driver records weak check)
+        "simhash64": _q_simhash64,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+        "eve_render": _q_eve_render,
     }
 
 

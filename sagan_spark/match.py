@@ -260,16 +260,41 @@ def _rule_prefilter(rule):
     return None
 
 
+def _rule_prefilter_key(rule):
+    """Dedup key for the rule's cheapest positive predicate (mirrors
+    _rule_prefilter's choice).  Deployed rulesets share first literals
+    heavily (hundreds of signatures keyed on the same program/service
+    token), so the OR-chain is built over DISTINCT predicates — the
+    evaluation cost scales with distinct literals, not rule count."""
+    for c in rule.contents:
+        if not c.negated:
+            return ("content", c.pattern.lower() if c.nocase else c.pattern,
+                    c.nocase)
+    for m in rule.meta_contents:
+        if not m.negated and m.alternatives:
+            return ("meta", m.alternatives, m.nocase)
+    for p in rule.pcres:
+        if _java_safe_regex(p.pattern):
+            return ("pcre", p.pattern, p.flags)
+    return None
+
+
 def candidate_filter(ruleset: RuleSet):
-    """OR of per-rule prefilters — rows matching none can be dropped
-    BEFORE the Arrow boundary, so at realistic alert densities only a few
-    percent of the table is ever serialized into Python.  Returns None
-    (no filtering possible) if any rule lacks a positive predicate."""
+    """OR of per-rule prefilters, deduplicated — rows matching none can be
+    dropped BEFORE the Arrow boundary, so at realistic alert densities
+    only a few percent of the table is ever serialized into Python.
+    Returns None (no filtering possible) if any rule lacks a positive
+    predicate."""
+    seen = set()
     pred = None
     for r in ruleset.rules:
-        p = _rule_prefilter(r)
-        if p is None:
+        key = _rule_prefilter_key(r)
+        if key is None:
             return None
+        if key in seen:
+            continue
+        seen.add(key)
+        p = _rule_prefilter(r)
         pred = p if pred is None else (pred | p)
     return pred
 

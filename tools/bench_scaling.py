@@ -66,6 +66,8 @@ def main() -> int:
                     help="rule corpus dir (production-sized default)")
     ap.add_argument("--noise", type=int, default=95,
                     help="non-matching turn percentage (realistic density)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="reps per config, best kept (host-noise guard)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -83,15 +85,23 @@ def main() -> int:
         spark.stop()
 
     E = args.cores_per_exec
-    # config N: one executor over all shards
-    rn = collect([run_exec(0, E - 1, E, shard_paths,
-                           os.path.join(args.workdir, "outN"),
-                           args.rules)])[0]
-    # config 4N: one executor per shard, concurrent, disjoint core sets
-    procs = [run_exec(k * E, (k + 1) * E - 1, E, [p],
-                      os.path.join(args.workdir, f"out4N_{k}"), args.rules)
-             for k, p in enumerate(shard_paths)]
-    r4 = collect(procs)
+    rn = None
+    r4 = None
+    for _ in range(args.reps):
+        # config N: one executor over all shards
+        c = collect([run_exec(0, E - 1, E, shard_paths,
+                              os.path.join(args.workdir, "outN"),
+                              args.rules)])[0]
+        if rn is None or c["wall_sec"] < rn["wall_sec"]:
+            rn = c
+        # config 4N: one executor per shard, concurrent, disjoint cores
+        procs = [run_exec(k * E, (k + 1) * E - 1, E, [p],
+                          os.path.join(args.workdir, f"out4N_{k}"),
+                          args.rules)
+                 for k, p in enumerate(shard_paths)]
+        cand = collect(procs)
+        if r4 is None or max(r["wall_sec"] for r in cand) <                 max(r["wall_sec"] for r in r4):
+            r4 = cand
 
     turns = rn["events_received"]
     wall_n = rn["wall_sec"]

@@ -30,12 +30,16 @@ CLASSTYPES = ("attempted-admin", "attempted-recon", "misc-attack",
 
 
 def main() -> None:
+    import sys
+    wide = "--wide" in sys.argv
     out_dir = os.path.join(REPO, "rules-bench")
     os.makedirs(out_dir, exist_ok=True)
     lines = ["# auto-generated production-sized bench corpus "
              "(tools/gen_rules.py)\n"]
     sid = 7000001
-    for i, ev in enumerate(EVENTS):
+    variants = (("", ), ("attempt of ", "signature of ", "pattern: ")) [1]         if wide else ("",)
+    for i, ev0 in enumerate(v + e for e in EVENTS for v in variants):
+        ev = ev0
         for j, svc in enumerate(SERVICES[: 7 if i % 2 else 6]):
             ct = CLASSTYPES[(i + j) % len(CLASSTYPES)]
             opts = f'content:"{svc}"; content:"{ev}"'
