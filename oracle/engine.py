@@ -27,12 +27,20 @@ import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
-from sagan_spark.extract import DEFAULT_PORT, DEFAULT_PROTO, blacklist_hit
+from sagan_spark.extract import (
+    DEFAULT_PORT,
+    DEFAULT_PROTO,
+    blacklist_hit,
+    geoip_pass,
+    intel_hit,
+)
 from sagan_spark.rules.compiler import RuleSet
 from sagan_spark.semantics import (
+    FlexStore,
     PrimCache,
     alert_time_pass,
     extract_for_rule,
+    flexbit_gate,
     flow_pass,
     track_key,
     xbit_track_value,
@@ -103,6 +111,7 @@ class OracleEngine:
         self.after_state: dict[tuple, _AfterState] = {}
         self.thresh_state: dict[tuple, _AfterState] = {}
         self.xbit_state: dict[tuple, _XbitState] = {}
+        self.flex_store = FlexStore()
         self.alerts: list[dict] = []
         self.eve_alerts: list[dict] = []
         self.eve_logs: list[dict] = []
@@ -296,14 +305,32 @@ class OracleEngine:
             ex = self._extract(rule, ev, pc)
             if not self._flow_pass(rule, ex):
                 continue
+            # flexbit condition + count gate (engine.c:1141-1151, 1470-1478)
+            if rule.flexbits:
+                cond_ret = self.flex_store.condition(
+                    rule, ex["ip_src"], ex["ip_dst"], ex["src_port"],
+                    ex["dst_port"], now)
+                count_ret = self.flex_store.count_check(
+                    rule, ex["ip_src"], ex["ip_dst"])
+                if not flexbit_gate(rule, cond_ret, count_ret):
+                    continue
             if not self._xbit_condition(rule, ex, now):
                 continue
             if rule.alert_time and not self._alert_time_pass(
                     rule.alert_time, ev.ts):
                 continue
+            # country_code gate (engine.c:1161-1225)
+            if rule.geoip_track and not geoip_pass(
+                    rule, ex["ip_src"], ex["ip_dst"], self.rs.geoip_ranges):
+                continue
             if rule.blacklist and not (
                     blacklist_hit(ex["ip_src"], self.rs.blacklist_ranges) or
                     blacklist_hit(ex["ip_dst"], self.rs.blacklist_ranges)):
+                continue
+            # zeek-intel gate (engine.c:1396-1459)
+            if rule.intel and not intel_hit(
+                    rule.intel, ex["ip_src"], ex["ip_dst"], ev.text,
+                    self.rs.intel_sets):
                 continue
             # after → threshold (engine.c:1516-1532)
             after_flag = False
@@ -316,6 +343,10 @@ class OracleEngine:
             if after_flag or thresh_flag:
                 continue
             self._xbit_set(rule, ex, now)   # engine.c:1560-1565
+            if rule.flexbits:               # engine.c:1566-1570
+                self.flex_store.apply_sets(
+                    rule, ex["ip_src"], ex["ip_dst"], ex["src_port"],
+                    ex["dst_port"], now)
             self._emit(rule, ev, ex)
 
     def _emit(self, rule: CompiledRule, ev: Event, ex: dict) -> None:

@@ -89,9 +89,10 @@ def run_with_checkpoint(spark: SparkSession, transcripts: DataFrame,
                     time.time() - t0)
         summary["alerts"] += counters["alert_total"]
         summary["rows"] += counters["events_received"]
-        # the pipeline persists match/correlate frames; drop them before
-        # the next unit so cached partitions don't accumulate across units
-        spark.catalog.clearCache()
+        # release exactly the frames THIS unit persisted — a blanket
+        # clearCache would also evict caller-cached inputs, silently
+        # recomputing them for every remaining unit
+        res.unpersist()
     # run-level metrics doc
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(summary, f)

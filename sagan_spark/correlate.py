@@ -1,31 +1,40 @@
-"""Stage 5 — CORRELATE: after / threshold / xbit stateful semantics.
+"""Stage 5 — CORRELATE: after / threshold / xbit / flexbit stateful
+semantics.
 
 The reference keeps this state in mmap'd shared memory keyed by
 Djb2(track-string) (/root/reference/src/after.c, src/threshold.c,
-src/xbit-mmap.c).  Here each state key becomes a Spark partition-local
-dict entry:
+src/xbit-mmap.c, src/flexbit-mmap.c).  Here each state key becomes a
+Spark partition-local dict entry:
 
 * ``after``      — key (sid, rev, after_key)   [after.c:113-117 matches
                    hash + sid + rev]
 * ``threshold``  — key (sid, thresh_key)       [threshold.c:118-121
                    matches hash + sid only — rev is NOT part of the key]
-* ``xbits``      — key xbit_key (track value); the store key is
-                   (name, value) (xbit-mmap.c:88-91), so one partition
-                   sees every interacting set/unset/isset row.
+* ``xbits``      — key (name, track value) (xbit-mmap.c:88-91)
+* ``flexbits``   — a store of (name, ip_src, ip_dst, ports, expire,
+                   state) entries compared direction-specifically
+                   (flexbit-mmap.c:61-1494)
 
 Execution strategy (scale notes):
 
-* Each stage is ``repartition(key) → sortWithinPartitions(key, epoch,
-  conv_id, turn_idx, rule_idx) → mapInPandas`` — ONE shuffle of the
-  matched rows (a small fraction of input), then a single linear pass per
-  partition.  No per-group Arrow round-trips: grouped ``applyInPandas``
-  costs ~10 ms *per group* in pandas/Arrow overhead, which at millions of
-  correlation keys dominates wall-clock; ``mapInPandas`` amortizes that to
-  one batch stream per partition, with the state dict carried across
-  batches (the iterator spans the whole partition).
-* Rows with a NULL stage key pass through unchanged; they are salted by
-  (conv_id, sid) in the repartition expression so they spread across
-  partitions instead of hashing to one (skew guard).
+* **Fast path** (all correlation keys conv-derived — the common
+  transcript case): ONE ``repartition(conv_id) → sortWithinPartitions →
+  mapInPandas`` running a single per-row fold in EXACT engine order
+  (engine.c:1132-1570: flexbit/xbit conditions gate → after → threshold
+  → xbit/flexbit sets only when not suppressed).  One shuffle of matched
+  rows, one Arrow round-trip, and every cross-clause interaction —
+  xbit⊕after, multi-track xbits, flexbit counts — is handled because the
+  fold IS the engine's per-event order.
+* **General path** (IP-extracted keys): one keyed stage per clause type,
+  shuffling only the rows that carry the stage's key.  Cross-clause
+  combinations (xbit/flexbit + after/threshold in ONE rule) are rejected
+  here at plan time — their state keys differ, so no single partitioning
+  co-locates the interaction; the reference runs them in one
+  shared-memory pass (engine.c:1132/1516/1560) that has no distributed
+  equivalent without a serial stage.  Flexbit rules with extracted IPs
+  (or the globally-shared 'none' direction, flexbit-mmap.c:124) run as a
+  single-partition fold over ONLY the flexbit-rule rows — exact, and
+  cheap because flexbit-rule match density is a tiny fraction of input.
 * Deterministic (epoch, conv_id, turn_idx, rule_idx) order inside each
   key — the batch replacement for the reference's wall-clock arrival
   order (SURVEY §2.6).
@@ -33,11 +42,6 @@ Execution strategy (scale notes):
   from the *window anchor*, threshold.c:131 rolls the anchor on every
   event) is a sequential fold — not expressible as a sliding-window SQL
   aggregate, exactly as SURVEY §4.3 planned.
-
-Restriction (documented): a rule combining xbits with after/threshold
-would create a cross-key state dependency cycle (xbit condition gates the
-after counter, after suppression gates the xbit set, engine.c:1132/1560).
-The pipeline rejects such rules at plan time; the oracle supports them.
 """
 
 from __future__ import annotations
@@ -48,116 +52,303 @@ import pandas as pd
 
 from .match import MATCH_SCHEMA
 from .rules.compiler import RuleSet
+from .semantics import FlexStore, flexbit_gate, xbit_track_value
 
 CORR_SCHEMA = (MATCH_SCHEMA +
                ", suppress_after boolean, suppress_thresh boolean, "
-               "xbit_pass boolean")
+               "xbit_pass boolean, flexbit_pass boolean")
 
 _SORT = ["epoch", "conv_id", "turn_idx", "rule_idx"]
 
 
-def validate_ruleset_for_spark(ruleset: RuleSet) -> None:
+def _track_conv_derived(tracks: tuple[str, ...]) -> bool:
+    """Under fallback addressing (engine.c:967-1045) ip_src/ip_dst are
+    conv_id; ports/username collapse to constants.  A track set keyed only
+    on by_username/by_srcport/by_dstport therefore yields one GLOBAL key
+    ('|0||0|') — partitioning that by conv_id would fragment a single
+    shared counter into per-partition state.  Conv-partitioning is only
+    sound when the track set includes by_src or by_dst."""
+    return "by_src" in tracks or "by_dst" in tracks
+
+
+def conv_keyed_only(ruleset: RuleSet) -> bool:
+    """True when every stateful rule's correlation keys are functions of
+    conv_id alone (the host-fallback path, engine.c:967-1045): no
+    parse_src_ip/parse_dst_ip/parse_port/normalize on a rule that has
+    after/threshold/xbits/flexbits, every after/threshold track set
+    contains a conv-derived component (see _track_conv_derived), and no
+    flexbit uses the globally-shared 'none' direction.  Then ONE
+    conv_id-hash repartition co-locates every correlation key — the
+    north star's explicit conv_id partitioning — and the whole stateful
+    stage is a single shuffle + one engine-order fold."""
     for r in ruleset.rules:
-        if r.xbits and (r.after or r.threshold):
+        if not (r.after or r.threshold or r.xbits or r.flexbits):
+            continue
+        if (r.parse_src_ip or r.parse_dst_ip or r.parse_port or
+                r.normalize):
+            return False
+        if r.after and not _track_conv_derived(r.after.tracks):
+            return False
+        if r.threshold and not _track_conv_derived(r.threshold.tracks):
+            return False
+        if any(fb.direction == "none" for fb in r.flexbits):
+            return False
+    return True
+
+
+def validate_ruleset_for_spark(ruleset: RuleSet) -> None:
+    """Plan-time restrictions that apply ONLY outside the conv-keyed fast
+    path (where the unified fold handles every combination exactly)."""
+    if conv_keyed_only(ruleset):
+        return
+    for r in ruleset.rules:
+        if (r.xbits or r.flexbits) and (r.after or r.threshold):
             raise ValueError(
-                f"sid {r.sid}: xbits combined with after/threshold creates "
-                "a cross-key state cycle; unsupported in distributed mode")
+                f"sid {r.sid}: xbits/flexbits combined with after/threshold "
+                "on IP-extracted keys creates a cross-key state dependency "
+                "(engine.c:1132/1516/1560 one-pass semantics); only "
+                "conv-derived keys support this in distributed mode")
         if r.xbits and len({x.track for x in r.xbits}) > 1:
             raise ValueError(
-                f"sid {r.sid}: all xbits in a rule must share one track "
-                "(single group key) in distributed mode")
+                f"sid {r.sid}: multi-track xbits need the conv-keyed fast "
+                "path (per-xbit keys span partitions otherwise)")
 
+
+# ---------------------------------------------------------------------------
+# per-key state machines (shared by the unified fold, the staged general
+# path, and the streaming correlator)
+# ---------------------------------------------------------------------------
+
+def _after_update(spec, state: dict, key, t: int) -> bool:
+    """One Sagan_After2 step (after.c:51-229): returns after_log_flag
+    (True = suppress).  Window anchor resets on expiry (after.c:130-137)
+    and rolls on every fire (after.c:140-147)."""
+    st = state.get(key)
+    if st is None:                    # add-new-entry path (after.c:155+)
+        state[key] = [1, t]
+        return True
+    cnt, utime = st[0] + 1, st[1]
+    flag = True
+    if t - utime > spec.seconds:      # window-anchor reset (after.c:130)
+        cnt, utime, flag = 1, t, True
+    if spec.count < cnt:              # fire (after.c:140-147)
+        utime, flag = t, False
+    st[0], st[1] = cnt, utime
+    return flag
+
+
+def _thresh_update(spec, state: dict, key, t: int) -> bool:
+    """One Threshold2 step (threshold.c:54-231): returns thresh_log_flag
+    (True = suppress); anchor rolls to every event (threshold.c:131)."""
+    st = state.get(key)
+    if st is None:
+        state[key] = [1, t]
+        return False
+    cnt, utime = st[0] + 1, st[1]
+    oldtime = t - utime
+    utime = t                         # rolling anchor (threshold.c:131)
+    flag = False
+    if oldtime > spec.seconds:
+        cnt, flag = 1, False
+    if spec.count < cnt:              # suppress (threshold.c:138-147)
+        flag = True
+    st[0], st[1] = cnt, utime
+    return flag
+
+
+def _xbit_condition(rule, store: dict, ip_src: str, ip_dst: str,
+                    t: int) -> bool:
+    """isset/isnotset gate (Xbit_Condition_MMAP, xbit-mmap.c:180-280),
+    per-xbit track keys (multi-track supported)."""
+    n_isset = n_isnotset = ok_isset = ok_isnotset = 0
+    ex = {"ip_src": ip_src, "ip_dst": ip_dst}
+    for xb in rule.xbits:
+        if xb.action == "isset":
+            n_isset += 1
+        elif xb.action == "isnotset":
+            n_isnotset += 1
+        else:
+            continue
+        exp = store.get((xb.name, xbit_track_value(xb.track, ex)), 0)
+        live = exp != 0 and t < exp
+        if xb.action == "isset" and live:
+            ok_isset += 1
+        elif xb.action == "isnotset" and not live:
+            ok_isnotset += 1
+    if n_isset == 0 and n_isnotset == 0:
+        return True
+    return ok_isset == n_isset and ok_isnotset == n_isnotset
+
+
+def _xbit_apply(rule, store: dict, ip_src: str, ip_dst: str,
+                t: int) -> None:
+    """set/unset post-match (engine.c:1560-1565, xbit-mmap.c:99/168)."""
+    ex = {"ip_src": ip_src, "ip_dst": ip_dst}
+    for xb in rule.xbits:
+        key = (xb.name, xbit_track_value(xb.track, ex))
+        if xb.action == "set":
+            store[key] = t + xb.expire        # xbit-mmap.c:99
+        elif xb.action == "unset":
+            store[key] = 0                    # xbit-mmap.c:168
+
+
+# ---------------------------------------------------------------------------
+# the unified engine-order fold (conv-keyed fast path + streaming)
+# ---------------------------------------------------------------------------
+
+class CorrState:
+    """All four stores, carried across Arrow batches within a partition
+    (batch) or across micro-batches (streaming)."""
+
+    __slots__ = ("after", "thresh", "xbit", "flex")
+
+    def __init__(self):
+        self.after: dict = {}
+        self.thresh: dict = {}
+        self.xbit: dict = {}
+        self.flex = FlexStore()
+
+
+def unified_fold(ruleset: RuleSet):
+    """Per-row fold in EXACT engine order (engine.c:1132-1570):
+    flexbit condition/count + xbit condition gate the rule; only
+    gate-passing rows touch the after/threshold counters; sets fire only
+    when not suppressed (engine.c:1560-1570)."""
+    rules = ruleset.rules
+
+    def fold(pdf: pd.DataFrame, st: CorrState):
+        sup_a, sup_t, xpass, fpass = [], [], [], []
+        for ridx, t, src, dst, sport, dport, akey, tkey in zip(
+                pdf["rule_idx"].tolist(), pdf["epoch"].tolist(),
+                pdf["ip_src"].tolist(), pdf["ip_dst"].tolist(),
+                pdf["src_port"].tolist(), pdf["dst_port"].tolist(),
+                pdf["after_key"].tolist(), pdf["thresh_key"].tolist()):
+            rule = rules[ridx]
+            # 1. flexbit condition + count (engine.c:1141-1151, 1470-1478)
+            if rule.flexbits:
+                cond_ret = st.flex.condition(rule, src, dst, sport,
+                                             dport, t)
+                count_ret = st.flex.count_check(rule, src, dst)
+                f_ok = flexbit_gate(rule, cond_ret, count_ret)
+            else:
+                f_ok = True
+            # 2. xbit condition (engine.c:1132-1135, 1480)
+            x_ok = (_xbit_condition(rule, st.xbit, src, dst, t)
+                    if rule.xbits else True)
+            a_flag = t_flag = False
+            if f_ok and x_ok:
+                # 3. after → threshold (engine.c:1516-1532)
+                if rule.after is not None and akey is not None:
+                    a_flag = _after_update(
+                        rule.after, st.after, (rule.sid, rule.rev, akey), t)
+                if (rule.threshold is not None and tkey is not None
+                        and not a_flag):
+                    t_flag = _thresh_update(
+                        rule.threshold, st.thresh, (rule.sid, tkey), t)
+                # 4. sets fire only when not suppressed (engine.c:1560-1570)
+                if not a_flag and not t_flag:
+                    if rule.xbits:
+                        _xbit_apply(rule, st.xbit, src, dst, t)
+                    if rule.flexbits:
+                        st.flex.apply_sets(rule, src, dst, sport, dport, t)
+            sup_a.append(a_flag)
+            sup_t.append(t_flag)
+            xpass.append(x_ok)
+            fpass.append(f_ok)
+        return sup_a, sup_t, xpass, fpass
+
+    return fold
+
+
+def apply_fold_to_batches(fold, st: CorrState,
+                          batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        sup_a, sup_t, xpass, fpass = fold(pdf, st)
+        pdf["suppress_after"] = pd.Series(sup_a, dtype=bool,
+                                          index=pdf.index)
+        pdf["suppress_thresh"] = pd.Series(sup_t, dtype=bool,
+                                           index=pdf.index)
+        pdf["xbit_pass"] = pd.Series(xpass, dtype=bool, index=pdf.index)
+        pdf["flexbit_pass"] = pd.Series(fpass, dtype=bool, index=pdf.index)
+        yield pdf
+
+
+# ---------------------------------------------------------------------------
+# staged general path (IP-extracted keys)
+# ---------------------------------------------------------------------------
 
 def _after_fold(ruleset: RuleSet):
-    """Per-key fold of Sagan_After2 (after.c:51-229): suppress until
-    count > C within the anchored window; window anchor resets on expiry
-    (after.c:130-137) and rolls on every fire (after.c:140-147)."""
+    """Batch wrapper over _after_update for the keyed stage."""
     def fold(pdf: pd.DataFrame, state: dict) -> list[bool]:
         flags = []
-        for key, t, ridx in zip(
-                zip(pdf["sid"].tolist(), pdf["rev"].tolist(),
-                    pdf["after_key"].tolist()),
-                pdf["epoch"].tolist(), pdf["rule_idx"].tolist()):
-            if key[2] is None:
+        for sid, rev, key, t, ridx in zip(
+                pdf["sid"].tolist(), pdf["rev"].tolist(),
+                pdf["after_key"].tolist(), pdf["epoch"].tolist(),
+                pdf["rule_idx"].tolist()):
+            if key is None:
                 flags.append(False)
                 continue
-            spec = ruleset.rules[ridx].after
-            st = state.get(key)
-            if st is None:                 # add-new-entry path (after.c:155+)
-                state[key] = [1, t]
-                flags.append(True)
-                continue
-            cnt, utime = st[0] + 1, st[1]
-            flag = True
-            if t - utime > spec.seconds:   # window-anchor reset (after.c:130)
-                cnt, utime, flag = 1, t, True
-            if spec.count < cnt:           # fire (after.c:140-147)
-                utime, flag = t, False
-            st[0], st[1] = cnt, utime
-            flags.append(flag)
+            flags.append(_after_update(ruleset.rules[ridx].after, state,
+                                       (sid, rev, key), t))
         return flags
     return fold
 
 
 def _threshold_fold(ruleset: RuleSet):
-    """Per-key fold of Threshold2 (threshold.c:54-231): emit until
-    count > C; anchor rolls to every event's time (threshold.c:131)."""
     def fold(pdf: pd.DataFrame, state: dict) -> list[bool]:
         flags = []
-        for key, t, ridx in zip(
-                zip(pdf["sid"].tolist(), pdf["thresh_key"].tolist()),
+        for sid, key, t, ridx in zip(
+                pdf["sid"].tolist(), pdf["thresh_key"].tolist(),
                 pdf["epoch"].tolist(), pdf["rule_idx"].tolist()):
-            if key[1] is None:
+            if key is None:
                 flags.append(False)
                 continue
-            spec = ruleset.rules[ridx].threshold
-            st = state.get(key)
-            if st is None:
-                state[key] = [1, t]
-                flags.append(False)
-                continue
-            cnt, utime = st[0] + 1, st[1]
-            oldtime = t - utime
-            utime = t                      # rolling anchor (threshold.c:131)
-            flag = False
-            if oldtime > spec.seconds:
-                cnt, flag = 1, False
-            if spec.count < cnt:           # suppress (threshold.c:138-147)
-                flag = True
-            st[0], st[1] = cnt, utime
-            flags.append(flag)
+            flags.append(_thresh_update(ruleset.rules[ridx].threshold,
+                                        state, (sid, key), t))
         return flags
     return fold
 
 
 def _xbit_fold(ruleset: RuleSet):
-    """Per-key xbit store: name → expire-at epoch (0 = unset); isset /
-    isnotset gate (xbit-mmap.c:203-210), set/unset fire post-match
-    (engine.c:1560-1565, xbit-mmap.c:99/168)."""
+    """Keyed-stage xbit fold (single-track rules: the xbit_key column IS
+    the track value, so (name, key) addressing matches the store)."""
     def fold(pdf: pd.DataFrame, state: dict) -> list[bool]:
         flags = []
-        for key, t, ridx in zip(pdf["xbit_key"].tolist(),
-                                pdf["epoch"].tolist(),
-                                pdf["rule_idx"].tolist()):
+        for key, t, ridx, src, dst in zip(
+                pdf["xbit_key"].tolist(), pdf["epoch"].tolist(),
+                pdf["rule_idx"].tolist(), pdf["ip_src"].tolist(),
+                pdf["ip_dst"].tolist()):
             if key is None:
                 flags.append(True)
                 continue
             rule = ruleset.rules[ridx]
-            store = state.setdefault(key, {})
-            passed = True
-            for xb in rule.xbits:
-                exp = store.get(xb.name, 0)
-                is_set = exp != 0 and t < exp
-                if (xb.action == "isset" and not is_set) or \
-                        (xb.action == "isnotset" and is_set):
-                    passed = False
+            passed = _xbit_condition(rule, state, src, dst, t)
             if passed:
-                for xb in rule.xbits:
-                    if xb.action == "set":
-                        store[xb.name] = t + xb.expire   # xbit-mmap.c:99
-                    elif xb.action == "unset":
-                        store[xb.name] = 0               # xbit-mmap.c:168
+                _xbit_apply(rule, state, src, dst, t)
             flags.append(passed)
+        return flags
+    return fold
+
+
+def _flexbit_serial_fold(ruleset: RuleSet):
+    """Single-partition flexbit fold for IP-extracted / 'none'-direction
+    rules: gates + sets, engine order, over flexbit-rule rows only.
+    after/threshold are rejected on these rules (validator), so the gate
+    alone decides and sets always fire on gate-pass (engine.c:1560)."""
+    def fold(pdf: pd.DataFrame, flex: FlexStore) -> list[bool]:
+        flags = []
+        for ridx, t, src, dst, sport, dport in zip(
+                pdf["rule_idx"].tolist(), pdf["epoch"].tolist(),
+                pdf["ip_src"].tolist(), pdf["ip_dst"].tolist(),
+                pdf["src_port"].tolist(), pdf["dst_port"].tolist()):
+            rule = ruleset.rules[ridx]
+            cond_ret = flex.condition(rule, src, dst, sport, dport, t)
+            count_ret = flex.count_check(rule, src, dst)
+            ok = flexbit_gate(rule, cond_ret, count_ret)
+            if ok:
+                flex.apply_sets(rule, src, dst, sport, dport, t)
+            flags.append(ok)
         return flags
     return fold
 
@@ -188,65 +379,23 @@ def _run_stage(df, key_cols: list[str], fold_factory, flag_col: str,
     return rep.mapInPandas(run, schema=CORR_SCHEMA)
 
 
-def conv_keyed_only(ruleset: RuleSet) -> bool:
-    """True when every stateful rule's correlation keys are functions of
-    conv_id alone (the host-fallback path, engine.c:967-1045): no
-    parse_src_ip/parse_dst_ip/parse_port/normalize on a rule that has
-    after/threshold/xbits.  Then ONE conv_id-hash repartition co-locates
-    every correlation key — the north star's explicit conv_id
-    partitioning — and all three folds run in a single shuffle+pass."""
-    for r in ruleset.rules:
-        if (r.after or r.threshold or r.xbits) and (
-                r.parse_src_ip or r.parse_dst_ip or r.parse_port or
-                r.normalize):
-            return False
-    return True
-
-
-def _combined_runner(ruleset: RuleSet, has_after: bool, has_thresh: bool,
-                     has_xbit: bool):
-    fold_a = _after_fold(ruleset)
-    fold_t = _threshold_fold(ruleset)
-    fold_x = _xbit_fold(ruleset)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sa: dict = {}
-        st: dict = {}
-        sx: dict = {}
-        for pdf in batches:
-            if has_after:
-                pdf["suppress_after"] = pd.Series(
-                    fold_a(pdf, sa), dtype=bool, index=pdf.index)
-            if has_thresh:
-                # after-suppressed rows skip the threshold counter
-                # (engine.c:1528); mask their key to None for the fold
-                masked = pdf["thresh_key"].where(
-                    ~pdf["suppress_after"], None)
-                pdf["suppress_thresh"] = pd.Series(
-                    fold_t(pdf.assign(thresh_key=masked), st),
-                    dtype=bool, index=pdf.index)
-            if has_xbit:
-                pdf["xbit_pass"] = pd.Series(
-                    fold_x(pdf, sx), dtype=bool, index=pdf.index)
-            yield pdf
-
-    return run
-
-
-def run_correlate(matches, ruleset: RuleSet):
-    """matches (MATCH_SCHEMA) → matches + suppression flags (CORR_SCHEMA).
+def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
+    """matches (MATCH_SCHEMA) → matches + suppression/gate flags
+    (CORR_SCHEMA).  Frames persisted internally are appended to
+    ``persists`` (when given) so the caller can unpersist exactly those —
+    never a blanket ``clearCache`` that would evict caller caches.
 
     Fast path (all correlation keys conv-derived — the common transcript
     case): ONE repartition(conv_id) + sortWithinPartitions + a single
-    mapInPandas running the after/threshold/xbit folds back-to-back.
-    One shuffle of matched rows, one Arrow round-trip, no persists.
+    mapInPandas running the unified engine-order fold.  One shuffle of
+    matched rows, one Arrow round-trip, no persists, every clause
+    combination supported.
 
     General path (IP-extracted keys): one keyed stage per clause type —
     the Arrow round-trip and shuffle are paid ONLY for rows carrying the
-    stage's key (measured: a full-frame mapInPandas costs ~10 s per 5.7M
-    wide rows, the keyed subset is typically a small fraction).  The
-    matched frame and each folded output are persisted MEMORY_AND_DISK so
-    the filter/union branches are cache reads, never matcher recomputes."""
+    stage's key.  The matched frame and each folded output are persisted
+    MEMORY_AND_DISK so the filter/union branches are cache reads, never
+    matcher recomputes."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -254,29 +403,68 @@ def run_correlate(matches, ruleset: RuleSet):
     df = (matches
           .withColumn("suppress_after", F.lit(False))
           .withColumn("suppress_thresh", F.lit(False))
-          .withColumn("xbit_pass", F.lit(True)))
+          .withColumn("xbit_pass", F.lit(True))
+          .withColumn("flexbit_pass", F.lit(True)))
 
     has_after = any(r.after for r in ruleset.rules)
     has_thresh = any(r.threshold for r in ruleset.rules)
     has_xbit = any(r.xbits for r in ruleset.rules)
-    if not (has_after or has_thresh or has_xbit):
+    has_flex = any(r.flexbits for r in ruleset.rules)
+    if not (has_after or has_thresh or has_xbit or has_flex):
         return df
 
     if conv_keyed_only(ruleset):
         rep = (df.repartition(F.col("conv_id"))
                  .sortWithinPartitions("conv_id", "epoch", "turn_idx",
                                        "rule_idx"))
-        return rep.mapInPandas(
-            _combined_runner(ruleset, has_after, has_thresh, has_xbit),
-            schema=CORR_SCHEMA)
+        fold = unified_fold(ruleset)
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from apply_fold_to_batches(fold, CorrState(), batches)
+
+        return rep.mapInPandas(run, schema=CORR_SCHEMA)
+
+    def _track(frame):
+        if persists is not None:
+            persists.append(frame)
+        return frame
+
+    df = _track(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+    # xbit/flexbit gates evaluate BEFORE after/threshold in the engine
+    # (engine.c:1132-1151 vs 1516); with cross-clause rules rejected by
+    # the validator the stages are independent, so stage order here only
+    # fixes the flag columns, not semantics.
+    if has_xbit:
+        keyed = df.filter(F.col("xbit_key").isNotNull())
+        folded = _track(_run_stage(keyed, ["xbit_key"], _xbit_fold,
+                                   "xbit_pass", ruleset)
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+        df = df.filter(F.col("xbit_key").isNull()).unionByName(folded)
+
+    if has_flex:
+        flex_sids = [r.sid for r in ruleset.rules if r.flexbits]
+        keyed = df.filter(F.col("sid").isin(flex_sids)) \
+                  .repartition(1).sortWithinPartitions(*_SORT)
+        fold = _flexbit_serial_fold(ruleset)
+
+        def run_flex(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            flex = FlexStore()
+            for pdf in batches:
+                pdf["flexbit_pass"] = pd.Series(
+                    fold(pdf, flex), dtype=bool, index=pdf.index)
+                yield pdf
+
+        folded = _track(keyed.mapInPandas(run_flex, schema=CORR_SCHEMA)
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+        df = df.filter(~F.col("sid").isin(flex_sids)).unionByName(folded)
 
     if has_after:
         keyed = df.filter(F.col("after_key").isNotNull())
-        folded = _run_stage(keyed, ["sid", "rev", "after_key"], _after_fold,
-                            "suppress_after", ruleset) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        folded = _track(_run_stage(keyed, ["sid", "rev", "after_key"],
+                                   _after_fold, "suppress_after", ruleset)
+                        .persist(StorageLevel.MEMORY_AND_DISK))
         df = df.filter(F.col("after_key").isNull()).unionByName(folded)
 
     # threshold: after-suppressed rows never reach the threshold counter
@@ -286,15 +474,10 @@ def run_correlate(matches, ruleset: RuleSet):
                           ~F.col("suppress_after"))
         rest = df.filter(F.col("thresh_key").isNull() |
                          F.col("suppress_after"))
-        folded = _run_stage(keyed, ["sid", "thresh_key"], _threshold_fold,
-                            "suppress_thresh", ruleset) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        folded = _track(_run_stage(keyed, ["sid", "thresh_key"],
+                                   _threshold_fold, "suppress_thresh",
+                                   ruleset)
+                        .persist(StorageLevel.MEMORY_AND_DISK))
         df = rest.unionByName(folded)
 
-    if has_xbit:
-        keyed = df.filter(F.col("xbit_key").isNotNull())
-        folded = _run_stage(keyed, ["xbit_key"], _xbit_fold, "xbit_pass",
-                            ruleset) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        df = df.filter(F.col("xbit_key").isNull()).unionByName(folded)
     return df

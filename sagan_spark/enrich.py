@@ -54,8 +54,23 @@ def enrich_alerts(alerts: DataFrame, spark: SparkSession,
 def attach_references(alerts: DataFrame, spark: SparkSession,
                       ruleset: RuleSet) -> DataFrame:
     """(sid) → collected reference URLs (J2), broadcast join + groupBy on
-    the broadcast side only (tiny)."""
+    the broadcast side only (tiny).  URLs are sorted and comma-joined
+    into one string column, the ``[Xref => url]`` suffix block the
+    reference appends to every alert (src/references.c:141-209)."""
     refs = (reference_df(spark, ruleset)
             .groupBy("sid")
-            .agg(F.sort_array(F.collect_list("ref_url")).alias("ref_urls")))
-    return alerts.join(F.broadcast(refs), "sid", "left")
+            .agg(F.concat_ws(
+                ",", F.sort_array(F.collect_list("ref_url")))
+                .alias("ref_urls")))
+    return (alerts.join(F.broadcast(refs), "sid", "left")
+            .withColumn("ref_urls", F.coalesce("ref_urls", F.lit(""))))
+
+
+def attach_gen_msg(alerts: DataFrame, spark: SparkSession,
+                   ruleset: RuleSet) -> DataFrame:
+    """(gid, sid) → generator message (J3) — Generator_Lookup
+    (src/gen-msg.c:132-148) as a broadcast join on the alert's
+    (gid, sid) pair."""
+    gm = gen_msg_df(spark, ruleset).withColumnRenamed("aid", "sid")
+    return (alerts.join(F.broadcast(gm), ["gid", "sid"], "left")
+            .withColumn("gen_msg", F.coalesce("gen_msg", F.lit(""))))

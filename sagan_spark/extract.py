@@ -233,6 +233,99 @@ def normalize_message(message: str, rulebase=None) -> dict[str, str]:
 # one-shot extraction record (what the engines consume)
 # ---------------------------------------------------------------------------
 
+def intel_hit(kinds: tuple[str, ...], ip_src: str, ip_dst: str,
+              message: str, intel_sets: dict) -> bool:
+    """Zeek intel membership gate (engine.c:1396-1459): lookups run in the
+    listed order and short-circuit on first hit.  ADDR lookups are exact
+    IP matches (Sagan_BroIntel_IPADDR); every other type is a
+    case-insensitive substring of the message (Sagan_stristr, e.g.
+    bro-intel.c Sagan_BroIntel_DOMAIN).  ``all_ipaddr`` scans every IP in
+    the message's parse cache (Sagan_BroIntel_IPADDR_All)."""
+    if not intel_sets:
+        return False
+    addr = intel_sets.get("addr", ())
+    low_msg = None
+    for kind in kinds:
+        if kind == "src_ipaddr":
+            if ip_src in addr:
+                return True
+        elif kind == "dst_ipaddr":
+            if ip_dst in addr:
+                return True
+        elif kind == "both_ipaddr":
+            if ip_src in addr or ip_dst in addr:
+                return True
+        elif kind == "all_ipaddr":
+            if addr and any(h.ip in addr
+                            for h in parse_ip_cache(message)):
+                return True
+        else:
+            needles = intel_sets.get(kind, ())
+            if needles:
+                if low_msg is None:
+                    low_msg = message.lower()
+                if any(n in low_msg for n in needles):
+                    return True
+    return False
+
+
+_NOTROUTABLE_NETS = None
+
+
+def _is_notroutable(addr) -> bool:
+    """The reference's exact notroutable table (util.c is_notroutable):
+    RFC1918 (10/8, 172.16/12, 192.168/16), localhost, multicast,
+    broadcast, IPv6 link-local/ULA/loopback.  Deliberately NOT Python's
+    broader ``is_global`` complement — TEST-NET etc. are routable to the
+    reference."""
+    global _NOTROUTABLE_NETS
+    import ipaddress
+    if _NOTROUTABLE_NETS is None:
+        _NOTROUTABLE_NETS = tuple(ipaddress.ip_network(n) for n in (
+            "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+            "127.0.0.0/8", "224.0.0.0/4", "255.255.255.255/32",
+            "ff00::/8", "fe80::/10", "fc00::/7", "::1/128"))
+    return any(addr in n for n in _NOTROUTABLE_NETS
+               if n.version == addr.version)
+
+
+def geoip_country(ip: str,
+                  ranges: tuple[tuple[int, int, str], ...]) -> str | None:
+    """IP → ISO3166 country via bisect over the broadcast interval table
+    (the mmdb point-lookup analog, src/geoip.c:138-208).  None == the
+    reference's GEOIP_SKIP (non-routable / not in DB, geoip.c:112-166)."""
+    if not ip or not ranges:
+        return None
+    from bisect import bisect_right
+
+    from .rules.compiler import ip_to_int
+    import ipaddress
+    try:
+        addr = ipaddress.ip_address(ip)
+    except ValueError:
+        return None
+    if _is_notroutable(addr):
+        return None               # is_notroutable skip (geoip.c:112-120)
+    v = ip_to_int(ip)
+    idx = bisect_right(ranges, (v, float("inf"), "")) - 1
+    if idx >= 0 and ranges[idx][0] <= v <= ranges[idx][1]:
+        return ranges[idx][2]
+    return None
+
+
+def geoip_pass(rule, ip_src: str, ip_dst: str,
+               ranges: tuple[tuple[int, int, str], ...]) -> bool:
+    """country_code gate (engine.c:1161-1225): ``is`` passes on HIT,
+    ``isnot`` passes on MISS; SKIP (no lookup possible) always blocks
+    because geoip2_isset stays false (engine.c:1170-1171)."""
+    ip = ip_src if rule.geoip_track == "by_src" else ip_dst
+    cc = geoip_country(ip, ranges)
+    if cc is None:
+        return False
+    hit = cc in rule.geoip_codes
+    return hit if rule.geoip_is else not hit
+
+
 def blacklist_hit(ip: str, ranges: tuple[tuple[int, int], ...]) -> bool:
     """CIDR-range membership via bisect over sorted inclusive ranges —
     the broadcast analog of ``is_inrange`` (src/util.c:564) used by the

@@ -67,12 +67,16 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """payload → feature vector via Arrow-batched mapInPandas (the real
     decode would run here; signature and batch shape are production-
-    ready)."""
+    ready).  When PIL IS present we still use the deterministic fake so
+    results stay engine-portable; swapping in a real decoder is a local
+    change to _fake_decode_features."""
     if _HAS_PIL:  # pragma: no cover — not available in this container
-        raise NotImplementedError(
-            "real decode path not wired in this sandbox build")
+        import logging
+        logging.getLogger(__name__).info(
+            "PIL available but using deterministic fake features "
+            "(swap _fake_decode_features for a real decoder)")
 
-    schema = f"media_id long, kind string, features array<double>"
+    schema = "media_id long, kind string, features array<double>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

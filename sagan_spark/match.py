@@ -44,7 +44,7 @@ from .semantics import (
     track_key,
     xbit_track_value,
 )
-from .extract import blacklist_hit
+from .extract import blacklist_hit, geoip_pass, intel_hit
 
 MATCH_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -73,6 +73,39 @@ def _window_bounds(spec, prev_depth: int) -> tuple[int, int | None]:
     return start, stop
 
 
+_BACKREF_RE = re.compile(r"\\[1-9]|\(\?P=")
+
+
+def _noncapture(pattern: str) -> str:
+    """Rewrite capturing groups ``(`` → ``(?:`` (boolean-search
+    equivalent) so pandas ``str.contains`` doesn't emit its has-match-
+    groups UserWarning on every batch.  Skipped when the pattern uses
+    backreferences (rewriting would break them); character-class
+    interiors are left untouched."""
+    if _BACKREF_RE.search(pattern):
+        return pattern
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        elif ch == "(" and not in_class and not pattern.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 class _RuleProgram:
     """Executor-side compiled form of one rule: everything regex is
     pre-compiled once per executor (the PCRE-JIT analog,
@@ -94,7 +127,8 @@ class _RuleProgram:
         for z, c in enumerate(rule.contents):
             prev_depth = rule.contents[z - 1].depth if z > 0 else 0
             self.contents.append((_window_bounds(c, prev_depth), c))
-        self.pcres = [(re.compile(p.pattern, p.flags)) for p in rule.pcres]
+        self.pcres = [re.compile(_noncapture(p.pattern), p.flags)
+                      for p in rule.pcres]
         self.metas = []
         for z, m in enumerate(rule.meta_contents):
             prev_depth = rule.meta_contents[z - 1].depth if z > 0 else 0
@@ -106,7 +140,8 @@ class _RuleProgram:
             rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port or
             rule.parse_hash or rule.parse_proto or rule.parse_proto_program
             or rule.normalize or not rule.head.all_any or rule.blacklist
-            or rule.after or rule.threshold or rule.xbits)
+            or rule.intel or rule.geoip_track
+            or rule.after or rule.threshold or rule.xbits or rule.flexbits)
         # rows of a "complex" rule need the per-row extract/flow/gate loop;
         # everything else (incl. rules that only need correlation keys from
         # the conv_id fallback) is assembled fully vectorized
@@ -114,6 +149,7 @@ class _RuleProgram:
             rule.parse_src_ip or rule.parse_dst_ip or rule.parse_port or
             rule.parse_hash or rule.parse_proto or rule.parse_proto_program
             or rule.normalize or not rule.head.all_any or rule.blacklist
+            or rule.intel or rule.geoip_track
             or rule.alert_time is not None)
 
     # -- vectorized predicates ------------------------------------------------
@@ -216,13 +252,18 @@ def compile_programs(ruleset: RuleSet) -> list[_RuleProgram]:
 # ---------------------------------------------------------------------------
 
 _JAVA_UNSAFE = ("(?P", "(?(", "\\x{", "*+", "++", "?+")
+# \d/\w/\b/\s (and negations) are ASCII-only in Java rlike but Unicode in
+# Python re — a JVM prefilter using them could drop rows the Python
+# matcher would match (false negative in a supposed superset filter)
+_JAVA_SEMANTIC_DRIFT = re.compile(r"\\[dwsbDWSB]")
 
 
 def _java_safe_regex(pattern: str) -> bool:
-    """True when the python-re pattern is also a valid, equivalent Java
-    regex (rlike).  Conservative allowlist by exclusion of the python-only
-    / pcre-only constructs our compiler can emit."""
-    return not any(tok in pattern for tok in _JAVA_UNSAFE)
+    """True when the python-re pattern is also a valid AND semantically
+    equivalent Java regex (rlike): excludes python-only syntax and the
+    class shorthands whose char sets differ between engines."""
+    return (not any(tok in pattern for tok in _JAVA_UNSAFE)
+            and not _JAVA_SEMANTIC_DRIFT.search(pattern))
 
 
 def _rule_prefilter(rule):
@@ -365,6 +406,14 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
                         blacklist_hit(ex["ip_dst"],
                                       ruleset.blacklist_ranges)):
                     continue
+                if rule.intel and not intel_hit(
+                        rule.intel, ex["ip_src"], ex["ip_dst"],
+                        text_np[i], ruleset.intel_sets):
+                    continue
+                if rule.geoip_track and not geoip_pass(
+                        rule, ex["ip_src"], ex["ip_dst"],
+                        ruleset.geoip_ranges):
+                    continue
                 keep.append(i)
                 ip_src.append(ex["ip_src"])
                 src_port.append(ex["src_port"])
@@ -425,7 +474,12 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
         frames.append(out)
 
     if not frames:
-        out = pd.DataFrame({c: [] for c in _OUT_COLS})
+        # dtype-correct empty frame: a bare [] column defaults to float64,
+        # which Arrow cannot cast to timestamp for the ts column
+        out = pd.DataFrame({
+            c: pd.Series([], dtype="datetime64[ns]" if c == "ts"
+                         else _DTYPES.get(c, "object"))
+            for c in _OUT_COLS})
     else:
         out = pd.DataFrame({
             c: np.concatenate([np.asarray(f[c], dtype=object)

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .correlate import run_correlate
-from .enrich import enrich_alerts
+from .enrich import attach_gen_msg, attach_references, enrich_alerts
 from .match import run_match
 from .parse import (
     ignore_condition,
@@ -54,6 +54,13 @@ class PipelineResult:
     counters: DataFrame
     malformed: DataFrame
     correlated: DataFrame   # pre-route, for inspection/metrics
+    persisted: list = None  # frames this run persisted (for unpersist())
+
+    def unpersist(self) -> None:
+        """Release exactly the frames this pipeline persisted — callers'
+        own cached DataFrames are untouched (no clearCache)."""
+        for df in self.persisted or ():
+            df.unpersist()
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
@@ -65,14 +72,18 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     matches = run_match(kept, ruleset)
     # every sink + the counters consume `correlated`; persist so the four
     # sink actions share one computation of the match/correlate stages
-    correlated = run_correlate(matches, ruleset) \
+    persisted: list = []
+    correlated = run_correlate(matches, ruleset, persists=persisted) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(correlated)
     alerts = enrich_alerts(alert_sink(correlated, ruleset), spark, ruleset)
+    alerts = attach_references(alerts, spark, ruleset)   # J2
+    alerts = attach_gen_msg(alerts, spark, ruleset)      # J3
     # re-order columns for a stable sink schema
     alerts = alerts.select(
         "conv_id", "turn_idx", "ts", "gid", "sid", "rev", "msg", "classtype",
         "class_desc", "pri", "ip_src", "src_port", "ip_dst", "dst_port",
-        "proto", "text", "action")
+        "proto", "text", "action", "ref_urls", "gen_msg")
     return PipelineResult(
         alerts=alerts,
         eve_alerts=eve_alert_sink(correlated, ruleset),
@@ -82,6 +93,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                              ignore_condition(ruleset.ignore_list), ruleset),
         malformed=malformed_counts(parsed),
         correlated=correlated,
+        persisted=persisted,
     )
 
 

@@ -29,11 +29,11 @@ ALERT_COLUMNS = [
 
 
 def emitted(correlated: DataFrame) -> DataFrame:
-    """Rows that survive xbit gating and after/threshold suppression —
-    the Send_Alert set (engine.c:1546-1606)."""
+    """Rows that survive xbit/flexbit gating and after/threshold
+    suppression — the Send_Alert set (engine.c:1470-1606)."""
     return correlated.filter(
-        F.col("xbit_pass") & ~F.col("suppress_after") &
-        ~F.col("suppress_thresh"))
+        F.col("xbit_pass") & F.col("flexbit_pass") &
+        ~F.col("suppress_after") & ~F.col("suppress_thresh"))
 
 
 def _excluding(df: DataFrame, sids: list[int]) -> DataFrame:
@@ -113,7 +113,7 @@ def sink_counts(correlated: DataFrame, parsed: DataFrame,
     pass over the parsed frame (map-side partial agg) — not separate
     kept/dropped scans, which would each recompute the upstream."""
     noalert = [r.sid for r in ruleset.rules if r.noalert] if ruleset else []
-    gated = correlated.filter(F.col("xbit_pass"))
+    gated = correlated.filter(F.col("xbit_pass") & F.col("flexbit_pass"))
     is_emitted = ~F.col("suppress_after") & ~F.col("suppress_thresh")
     agg = gated.agg(
         F.count("*").alias("saganfound"),

@@ -28,10 +28,12 @@ import re
 from dataclasses import dataclass, field
 
 from .model import (
+    FLEXBIT_DIRECTIONS,
     AfterSpec,
     AlertTimeSpec,
     CompiledRule,
     ContentSpec,
+    FlexbitSpec,
     MetaContentSpec,
     PcreSpec,
     RuleHead,
@@ -193,6 +195,62 @@ def load_blacklist(text: str) -> list[tuple[int, int]]:
     return sorted(ranges)
 
 
+_INTEL_TYPE_MAP = {
+    # Zeek intel framework type → our set key
+    # (loaders src/processors/bro-intel.c:527-825)
+    "Intel::ADDR": "addr",
+    "Intel::DOMAIN": "domain",
+    "Intel::FILE_HASH": "file_hash",
+    "Intel::URL": "url",
+    "Intel::SOFTWARE": "software",
+    "Intel::EMAIL": "email",
+    "Intel::USER_NAME": "user_name",
+    "Intel::FILE_NAME": "file_name",
+    "Intel::CERT_HASH": "cert_hash",
+}
+
+
+def load_intel(text: str) -> dict[str, tuple[str, ...]]:
+    """Zeek intel.dat: tab-separated ``indicator  indicator_type  ...``
+    (the file format consumed by src/processors/bro-intel.c:527-825) →
+    {set_key: sorted indicators}.  ADDR entries are exact-IP matches;
+    every other type is a case-insensitive substring of the message
+    (Sagan_stristr, e.g. bro-intel.c Sagan_BroIntel_DOMAIN)."""
+    sets: dict[str, set[str]] = {k: set() for k in _INTEL_TYPE_MAP.values()}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < 2:
+            parts = line.split()
+        if len(parts) < 2:
+            continue
+        indicator, itype = parts[0].strip(), parts[1].strip()
+        key = _INTEL_TYPE_MAP.get(itype)
+        if key:
+            sets[key].add(indicator if key == "addr" else indicator.lower())
+    return {k: tuple(sorted(v)) for k, v in sets.items() if v}
+
+
+def load_geoip(text: str) -> tuple[tuple[int, int, str], ...]:
+    """GeoIP interval table: ``cidr,ISO3166-code`` per line — the
+    broadcast analog of the Maxmind mmdb point lookup
+    (src/geoip.c:93-206) → sorted inclusive (lo, hi, country) ranges."""
+    out = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        cidr, _, cc = ln.partition(",")
+        cidr = cidr.strip()
+        if "/" not in cidr:
+            cidr += "/128" if ":" in cidr else "/32"
+        lo, hi = cidr_to_range(cidr)
+        out.append((lo, hi, cc.strip().upper()))
+    return tuple(sorted(out))
+
+
 # ---------------------------------------------------------------------------
 # header parsing
 # ---------------------------------------------------------------------------
@@ -332,6 +390,88 @@ def _parse_xbit(val: str) -> XbitSpec:
     return XbitSpec(action=action, name=name, track=track, expire=expire)
 
 
+def _parse_flexbit(val: str) -> FlexbitSpec:
+    """``set,<name>,<timeout>`` / ``{unset|isset|isnotset},<dir>,<name>``
+    / ``count,{by_src|by_dst},{gt|lt|eq} N``
+    (doc/source/rule-keywords.rst:299-336; direction table
+    src/flexbit.c:63-135)."""
+    parts = [p.strip() for p in val.split(",")]
+    action = parts[0].lower()
+    if action == "set":
+        if len(parts) != 3:
+            raise RuleParseError(f"flexbits set needs name,timeout: {val!r}")
+        return FlexbitSpec(action="set", name=parts[1],
+                           timeout=int(parts[2]))
+    if action in ("unset", "isset", "isnotset"):
+        if len(parts) != 3:
+            raise RuleParseError(
+                f"flexbits {action} needs direction,name: {val!r}")
+        direction = parts[1].lower()
+        if direction not in FLEXBIT_DIRECTIONS:
+            raise RuleParseError(f"bad flexbit direction {direction!r}")
+        return FlexbitSpec(action=action, name=parts[2],
+                           direction=direction)
+    if action == "count":
+        if len(parts) != 3:
+            raise RuleParseError(
+                f"flexbits count needs direction, op N: {val!r}")
+        direction = parts[1].lower()
+        if direction not in ("by_src", "by_dst"):
+            # Flexbit_Count_MMAP only implements direction 2/3
+            # (flexbit-mmap.c:683-744)
+            raise RuleParseError(
+                f"flexbit count direction must be by_src|by_dst")
+        op, _, n = parts[2].partition(" ")
+        op = op.strip().lower()
+        if op not in ("gt", "lt", "eq"):
+            raise RuleParseError(f"flexbit count op must be gt|lt|eq")
+        return FlexbitSpec(action="count", direction=direction,
+                           count_op=op, count_n=int(n))
+    raise RuleParseError(f"bad flexbit action {action!r}")
+
+
+_INTEL_KEYWORDS = frozenset({
+    # engine.c:1396-1459 lookup kinds
+    "src_ipaddr", "dst_ipaddr", "all_ipaddr", "both_ipaddr",
+    "domain", "file_hash", "url", "software", "email",
+    "user_name", "file_name", "cert_hash",
+})
+
+
+def _parse_intel(val: str) -> tuple[str, ...]:
+    """``zeek-intel: src_ipaddr, domain, url``
+    (doc/source/rule-keywords.rst zeek-intel; engine.c:1396-1459)."""
+    kinds = tuple(p.strip().lower() for p in val.split(",") if p.strip())
+    bad = set(kinds) - _INTEL_KEYWORDS
+    if bad:
+        raise RuleParseError(f"unknown zeek-intel kind(s) {bad}")
+    return kinds
+
+
+def _parse_country_code(val: str) -> tuple[str, bool, tuple[str, ...]]:
+    """``country_code: track by_src, isnot US`` / ``... is [CN,RU]``
+    (doc/source/rule-keywords.rst:165-184; engine.c:1161-1225)."""
+    track, is_mode, codes = "", True, ()
+    for p in val.split(",", 1):
+        p = p.strip()
+        if p.lower().startswith("track"):
+            track = p.split()[1].lower()
+        else:
+            k, _, v = p.partition(" ")
+            k = k.strip().lower()
+            if k not in ("is", "isnot"):
+                raise RuleParseError(f"country_code needs is|isnot: {val!r}")
+            is_mode = (k == "is")
+            codes = tuple(c.strip().upper()
+                          for c in v.strip().strip("[]").split(",")
+                          if c.strip())
+    if track not in ("by_src", "by_dst"):
+        raise RuleParseError(f"country_code track must be by_src|by_dst")
+    if not codes:
+        raise RuleParseError(f"country_code needs country list: {val!r}")
+    return track, is_mode, codes
+
+
 def _parse_alert_time(val: str) -> AlertTimeSpec:
     """``days 0123456, time 0800-1700`` (src/aetas.c parse + rule-keywords
     doc)."""
@@ -366,6 +506,7 @@ def parse_rule(text: str, variables: dict[str, str] | None = None,
     pcres: list[PcreSpec] = []
     metas: list[MetaContentSpec] = []
     xbits: list[XbitSpec] = []
+    flexbits: list[FlexbitSpec] = []
     refs: list[tuple[str, str]] = []
     last_modifiable: str | None = None   # "content" | "meta"
 
@@ -481,6 +622,28 @@ def parse_rule(text: str, variables: dict[str, str] | None = None,
                 count=d["count"], seconds=d["seconds"])
         elif key == "xbits":
             xbits.append(_parse_xbit(val))
+        elif key == "flexbits":
+            if val.strip().lower() in ("noalert", "nounified2", "noeve"):
+                # suppression flags (rule-keywords.rst:336; rules.h:99-101)
+                if val.strip().lower() == "noalert":
+                    fields["noalert"] = True
+                elif val.strip().lower() == "noeve":
+                    fields["noeve"] = True
+            else:
+                fb = _parse_flexbit(val)
+                if fb.action == "count" and any(
+                        f.action == "count" for f in flexbits):
+                    # the reference shares one counter across count
+                    # clauses (flexbit-mmap.c:676-744); keep it unambiguous
+                    raise RuleParseError("only one flexbit count per rule")
+                flexbits.append(fb)
+        elif key in ("zeek-intel", "bro-intel", "zeek_intel", "bro_intel"):
+            fields["intel"] = _parse_intel(val)
+        elif key == "country_code":
+            track, is_mode, codes = _parse_country_code(val)
+            fields["geoip_track"] = track
+            fields["geoip_is"] = is_mode
+            fields["geoip_codes"] = codes
         elif key == "alert_time":
             fields["alert_time"] = _parse_alert_time(val)
         elif key == "blacklist":
@@ -502,6 +665,7 @@ def parse_rule(text: str, variables: dict[str, str] | None = None,
         raise RuleParseError("rule missing sid")
     return CompiledRule(contents=tuple(contents), pcres=tuple(pcres),
                         meta_contents=tuple(metas), xbits=tuple(xbits),
+                        flexbits=tuple(flexbits),
                         references=tuple(refs), **fields)
 
 
@@ -545,6 +709,8 @@ class RuleSet:
     gen_msg: dict[tuple[int, int], str] = field(default_factory=dict)
     ignore_list: tuple[str, ...] = ()
     blacklist_ranges: tuple[tuple[int, int], ...] = ()
+    intel_sets: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    geoip_ranges: tuple[tuple[int, int, str], ...] = ()
     variables: dict[str, str] = field(default_factory=dict)
 
     def by_sid(self, sid: int) -> CompiledRule:
@@ -557,6 +723,8 @@ def compile_ruleset(rules_text: str,
                     gen_msg_text: str = "",
                     ignore_text: str = "",
                     blacklist_text: str = "",
+                    intel_text: str = "",
+                    geoip_text: str = "",
                     variables: dict[str, str] | None = None) -> RuleSet:
     variables = dict(variables or {})
     classifications = load_classifications(classification_text)
@@ -574,6 +742,8 @@ def compile_ruleset(rules_text: str,
         gen_msg=load_gen_msg(gen_msg_text),
         ignore_list=tuple(load_ignore_list(ignore_text)),
         blacklist_ranges=tuple(load_blacklist(blacklist_text)),
+        intel_sets=load_intel(intel_text),
+        geoip_ranges=load_geoip(geoip_text),
         variables=variables,
     )
 
@@ -600,4 +770,6 @@ def compile_ruleset_from_dir(path: str) -> RuleSet:
         gen_msg_text=rd("gen-msg.map"),
         ignore_text=rd("ignore.txt"),
         blacklist_text=rd("blacklist.txt"),
+        intel_text=rd("intel.dat"),
+        geoip_text=rd("geoip.csv"),
     )

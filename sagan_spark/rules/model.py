@@ -148,6 +148,78 @@ class XbitSpec:
     expire: int = 0
 
 
+FLEXBIT_DIRECTIONS = (
+    # the 12 direction modes + none (Flexbit_Type, src/flexbit.c:63-135)
+    "none", "both", "by_src", "by_dst", "reverse",
+    "src_xbitdst", "dst_xbitsrc",
+    "both_p", "by_src_p", "by_dst_p", "reverse_p",
+    "src_xbitdst_p", "dst_xbitsrc_p",
+)
+
+
+@dataclass(frozen=True)
+class FlexbitSpec:
+    """``flexbits:`` — like xbits, but the store entry records the full
+    (ip_src, ip_dst, src_port, dst_port) tuple of the setting event and
+    conditions compare direction-specifically
+    (src/flexbit-mmap.c:61-1494; direction table src/flexbit.c:63-135).
+
+    Syntax accepted (doc/source/rule-keywords.rst:299-336):
+      flexbits: set, <name>, <timeout_seconds>
+      flexbits: {unset|isset|isnotset}, <direction>, <name>
+      flexbits: count, {by_src|by_dst}, {gt|lt|eq} <N>
+    Count semantics (Flexbit_Count_MMAP, flexbit-mmap.c:671-744): counts
+    store entries whose direction-IP matches the event — name-agnostic
+    and state-agnostic (reference quirk preserved); ``gt`` fires when
+    counter > N.  The fork wires only ``gt``; ``lt``/``eq`` follow
+    rules.h:110-112 against the final counter.
+    """
+
+    action: str                    # set/unset/isset/isnotset/count
+    name: str = ""                 # empty for count (name-agnostic)
+    direction: str = "none"
+    timeout: int = 0               # set only (flexbit_timeout)
+    count_op: str = "gt"           # count only (flexbit_count_gt_lt)
+    count_n: int = 0               # count only (flexbit_count_counter)
+
+
+def flexbit_entry_matches(direction: str, e_src: str, e_dst: str,
+                          e_sport: int, e_dport: int, c_src: str,
+                          c_dst: str, c_sport: int, c_dport: int) -> bool:
+    """Direction-specific store-entry vs current-event compare — the
+    memcmp ladder of Flexbit_Condition_MMAP (flexbit-mmap.c:104-320),
+    shared by isset/isnotset/unset."""
+    if direction == "none":
+        return True
+    if direction == "both":
+        return e_src == c_src and e_dst == c_dst
+    if direction == "by_src":
+        return e_src == c_src
+    if direction == "by_dst":
+        return e_dst == c_dst
+    if direction == "reverse":
+        return e_src == c_dst and e_dst == c_src
+    if direction == "src_xbitdst":
+        return e_dst == c_src
+    if direction == "dst_xbitsrc":
+        return e_src == c_dst
+    if direction == "both_p":
+        return (e_src == c_src and e_dst == c_dst and
+                e_sport == c_sport and e_dport == c_dport)
+    if direction == "by_src_p":
+        return e_src == c_src and e_sport == c_sport
+    if direction == "by_dst_p":
+        return e_dst == c_dst and e_dport == c_dport
+    if direction == "reverse_p":
+        return (e_src == c_dst and e_dst == c_src and
+                e_sport == c_dport and e_dport == c_sport)
+    if direction == "src_xbitdst_p":
+        return e_dst == c_src and e_dport == c_sport
+    if direction == "dst_xbitsrc_p":
+        return e_src == c_dst and e_sport == c_dport
+    raise ValueError(f"unknown flexbit direction {direction!r}")
+
+
 @dataclass(frozen=True)
 class AlertTimeSpec:
     """``alert_time: days 0123456, time 0800-1700``
@@ -239,10 +311,15 @@ class CompiledRule:
     after: AfterSpec | None = None
     threshold: ThresholdSpec | None = None
     xbits: tuple[XbitSpec, ...] = ()
+    flexbits: tuple[FlexbitSpec, ...] = ()
     alert_time: AlertTimeSpec | None = None
 
     # enrichment gates
     blacklist: bool = False        # blacklist lookup gate (engine.c:1246-1273)
+    intel: tuple[str, ...] = ()    # zeek-intel lookups (engine.c:1396-1459)
+    geoip_track: str = ""          # country_code track (by_src|by_dst)
+    geoip_is: bool = True          # is vs isnot (geoip2_type, engine.c:1188)
+    geoip_codes: tuple[str, ...] = ()   # ISO3166 codes
 
     # sink flags
     noalert: bool = False          # flexbit/xbit noalert analog

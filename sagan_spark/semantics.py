@@ -22,7 +22,7 @@ from .extract import (
     parse_proto_program,
 )
 from .rules.compiler import ip_to_int
-from .rules.model import CompiledRule
+from .rules.model import CompiledRule, flexbit_entry_matches
 
 
 class PrimCache:
@@ -171,6 +171,121 @@ def track_key(tracks: tuple[str, ...], ex: dict) -> str:
     sport = ex["src_port"] if "by_srcport" in tracks else 0
     dport = ex["dst_port"] if "by_dstport" in tracks else 0
     return f"{src}|{sport}|{dst}|{dport}|{user}"
+
+
+class FlexStore:
+    """The flexbit entry store (the mmap array of flexbit-mmap.c) —
+    shared by the Spark correlate fold AND the pure-Python oracle.
+
+    Entries are never removed — expiry toggles liveness lazily (the
+    Flexbit_Cleanup_MMAP equivalent, flexbit-mmap.c:1468-1494) and the
+    name-agnostic, state-agnostic count quirk (flexbit-mmap.c:671-744)
+    is preserved via creation-time per-IP counters."""
+
+    __slots__ = ("by_name", "by_key", "cnt_src", "cnt_dst")
+
+    def __init__(self):
+        self.by_name: dict[str, list] = {}
+        self.by_key: dict[tuple, list] = {}
+        self.cnt_src: dict[str, int] = {}
+        self.cnt_dst: dict[str, int] = {}
+
+    # entry layout: [ip_src, ip_dst, src_port, dst_port, expire_at, state]
+
+    def condition(self, rule, src, dst, sport, dport, t) -> bool:
+        """Flexbit_Condition_MMAP (flexbit-mmap.c:61-670): tally of
+        passing isset/isnotset clauses must equal the clause count."""
+        tally = n_cond = 0
+        for fb in rule.flexbits:
+            if fb.action == "isset":
+                n_cond += 1
+                for e in self.by_name.get(fb.name, ()):
+                    if e[5] and t < e[4] and flexbit_entry_matches(
+                            fb.direction, e[0], e[1], e[2], e[3],
+                            src, dst, sport, dport):
+                        tally += 1
+                        break
+            elif fb.action == "isnotset":
+                n_cond += 1
+                hit = any(
+                    e[5] and t < e[4] and flexbit_entry_matches(
+                        fb.direction, e[0], e[1], e[2], e[3],
+                        src, dst, sport, dport)
+                    for e in self.by_name.get(fb.name, ()))
+                if not hit:
+                    tally += 1
+        return tally == n_cond
+
+    def count_check(self, rule, src, dst) -> bool:
+        """Flexbit_Count_MMAP (flexbit-mmap.c:671-744): entries counted
+        regardless of name or state; gt fires on counter > N (the only
+        comparator the fork wires); lt/eq follow rules.h:110-112."""
+        for fb in rule.flexbits:
+            if fb.action != "count":
+                continue
+            n = (self.cnt_src.get(src, 0) if fb.direction == "by_src"
+                 else self.cnt_dst.get(dst, 0))
+            if fb.count_op == "gt":
+                return n > fb.count_n
+            if fb.count_op == "lt":
+                return n < fb.count_n
+            return n == fb.count_n
+        return True
+
+    def apply_sets(self, rule, src, dst, sport, dport, t) -> None:
+        """Flexbit_Set_MMAP (flexbit-mmap.c:745-1467): set updates the
+        (name, src, dst)-matched entry or creates one; unset toggles
+        state=false on direction-matched entries."""
+        for fb in rule.flexbits:
+            if fb.action == "set":
+                key = (fb.name, src, dst)
+                e = self.by_key.get(key)
+                if e is not None:                 # update (mmap.c:1280-1305)
+                    e[2], e[3] = sport, dport
+                    e[4], e[5] = t + fb.timeout, True
+                else:                             # create (mmap.c:1412-1434)
+                    e = [src, dst, sport, dport, t + fb.timeout, True]
+                    self.by_key[key] = e
+                    self.by_name.setdefault(fb.name, []).append(e)
+                    self.cnt_src[src] = self.cnt_src.get(src, 0) + 1
+                    self.cnt_dst[dst] = self.cnt_dst.get(dst, 0) + 1
+            elif fb.action == "unset":
+                for e in self.by_name.get(fb.name, ()):
+                    if flexbit_entry_matches(fb.direction, e[0], e[1],
+                                             e[2], e[3], src, dst,
+                                             sport, dport):
+                        e[5] = False              # mmap.c:784-990
+
+    # -- streaming persistence ---------------------------------------------
+
+    def dump(self) -> list:
+        return [[name, e] for name, es in self.by_name.items() for e in es]
+
+    @classmethod
+    def load(cls, items: list) -> "FlexStore":
+        st = cls()
+        for name, e in items:
+            st.by_name.setdefault(name, []).append(e)
+            st.by_key[(name, e[0], e[1])] = e
+            st.cnt_src[e[0]] = st.cnt_src.get(e[0], 0) + 1
+            st.cnt_dst[e[1]] = st.cnt_dst.get(e[1], 0) + 1
+        return st
+
+
+def flexbit_gate(rule, cond_ret: bool, count_ret: bool) -> bool:
+    """The emission gate for flexbits, bug-compatible with
+    engine.c:1470-1478: a count-only rule can never pass (none of the
+    disjuncts holds), and set-only rules always pass."""
+    has_set = any(fb.action in ("set", "unset") for fb in rule.flexbits)
+    has_cond = any(fb.action in ("isset", "isnotset")
+                   for fb in rule.flexbits)
+    has_count = any(fb.action == "count" for fb in rule.flexbits)
+    ok = (not rule.flexbits or
+          (has_set and not has_cond) or
+          (has_cond and cond_ret))
+    if ok and has_count:
+        ok = count_ret
+    return ok
 
 
 def xbit_track_value(track: str, ex: dict) -> str:

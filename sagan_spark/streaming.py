@@ -36,10 +36,11 @@ import pandas as pd
 
 from .correlate import (
     CORR_SCHEMA,
-    _after_fold,
-    _threshold_fold,
-    _xbit_fold,
+    CorrState,
+    FlexStore,
+    apply_fold_to_batches,
     conv_keyed_only,
+    unified_fold,
     validate_ruleset_for_spark,
 )
 from .datagen import TRANSCRIPTS_SCHEMA
@@ -47,62 +48,65 @@ from .match import MATCH_SCHEMA, build_matcher, candidate_filter
 from .parse import parse_transcripts, split_ignored
 from .rules.compiler import RuleSet
 
-# GroupState layout: one JSON blob (the three fold dicts, key-stringified)
+# GroupState layout: one JSON blob (the four stores, key-stringified)
 STATE_SCHEMA = "state string"
 
 
-def _encode_state(sa: dict, st: dict, sx: dict) -> str:
+def _encode_state(st: CorrState) -> str:
     return json.dumps({
-        "a": [[list(k), v] for k, v in sa.items()],
-        "t": [[list(k), v] for k, v in st.items()],
-        "x": list(sx.items()),
+        "a": [[list(k), v] for k, v in st.after.items()],
+        "t": [[list(k), v] for k, v in st.thresh.items()],
+        "x": [[list(k), v] for k, v in st.xbit.items()],
+        "f": st.flex.dump(),
     })
 
 
-def _decode_state(blob: str):
+def _decode_state(blob: str) -> CorrState:
     d = json.loads(blob)
-    sa = {tuple(k): v for k, v in d.get("a", [])}
-    st = {tuple(k): v for k, v in d.get("t", [])}
-    sx = dict(d.get("x", []))
-    return sa, st, sx
+    st = CorrState()
+    st.after = {tuple(k): v for k, v in d.get("a", [])}
+    st.thresh = {tuple(k): v for k, v in d.get("t", [])}
+    st.xbit = {tuple(k): v for k, v in d.get("x", [])}
+    st.flex = FlexStore.load(d.get("f", []))
+    return st
+
+
+def default_state_timeout_ms(ruleset: RuleSet) -> int:
+    """Eviction default: 2× the largest rule window (after/threshold
+    seconds, xbit/flexbit expire) — the streaming analog of the
+    reference's Clean_IPC_Object stale-entry eviction (src/ipc.c:79-200).
+    Without a timeout, per-conv GroupState would grow unboundedly across
+    the conv_id keyspace in a long-running stream."""
+    horizon = 0
+    for r in ruleset.rules:
+        if r.after:
+            horizon = max(horizon, r.after.seconds)
+        if r.threshold:
+            horizon = max(horizon, r.threshold.seconds)
+        for xb in r.xbits:
+            horizon = max(horizon, xb.expire)
+        for fb in r.flexbits:
+            horizon = max(horizon, fb.timeout)
+    return 2 * horizon * 1000 if horizon else 3600_000
 
 
 def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0):
     """applyInPandasWithState function: per conv_id group, fold the
     micro-batch's rows (sorted deterministically) through the same
-    after/threshold/xbit state machines as batch, persisting the dicts
-    in the GroupState across micro-batches."""
-    fold_a = _after_fold(ruleset)
-    fold_t = _threshold_fold(ruleset)
-    fold_x = _xbit_fold(ruleset)
-    has_after = any(r.after for r in ruleset.rules)
-    has_thresh = any(r.threshold for r in ruleset.rules)
-    has_xbit = any(r.xbits for r in ruleset.rules)
+    unified engine-order fold as batch, persisting the stores in the
+    GroupState across micro-batches."""
+    fold = unified_fold(ruleset)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        sa, st, sx = ({}, {}, {})
-        if state.exists:
-            sa, st, sx = _decode_state(state.get[0])
-        for pdf in pdfs:
-            pdf = pdf.sort_values(
-                ["epoch", "turn_idx", "rule_idx"]).reset_index(drop=True)
-            if has_after:
-                pdf["suppress_after"] = pd.Series(
-                    fold_a(pdf, sa), dtype=bool, index=pdf.index)
-            if has_thresh:
-                masked = pdf["thresh_key"].where(~pdf["suppress_after"],
-                                                 None)
-                pdf["suppress_thresh"] = pd.Series(
-                    fold_t(pdf.assign(thresh_key=masked), st),
-                    dtype=bool, index=pdf.index)
-            if has_xbit:
-                pdf["xbit_pass"] = pd.Series(
-                    fold_x(pdf, sx), dtype=bool, index=pdf.index)
-            yield pdf
-        state.update((_encode_state(sa, st, sx),))
+        st = _decode_state(state.get[0]) if state.exists else CorrState()
+        sorted_batches = (
+            pdf.sort_values(["epoch", "turn_idx", "rule_idx"])
+               .reset_index(drop=True) for pdf in pdfs)
+        yield from apply_fold_to_batches(fold, st, sorted_batches)
+        state.update((_encode_state(st),))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
 
@@ -119,16 +123,22 @@ def read_transcript_stream(spark, path: str, max_files: int = 10):
 
 
 def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
-                     state_timeout_ms: int = 0):
+                     state_timeout_ms: int | None = None):
     """transcripts stream → correlated alert stream (CORR_SCHEMA rows that
     survive suppression are the emit set; filtering/enrichment happens in
-    the sink's foreachBatch)."""
+    the sink's foreachBatch).
+
+    ``state_timeout_ms=None`` (default) derives the eviction timeout from
+    the ruleset's largest window (default_state_timeout_ms); pass 0 to
+    explicitly opt out of eviction."""
     from pyspark.sql import functions as F
 
     validate_ruleset_for_spark(ruleset)
     if not conv_keyed_only(ruleset):
         raise ValueError("streaming correlator requires conv-derived "
                          "correlation keys (conv_keyed_only)")
+    if state_timeout_ms is None:
+        state_timeout_ms = default_state_timeout_ms(ruleset)
     parsed = parse_transcripts(transcripts_stream)
     kept, _ = split_ignored(parsed, ruleset.ignore_list)
     needed = kept.select("conv_id", "turn_idx", "role", "text", "tool",
@@ -138,12 +148,13 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
         needed = needed.filter(pref)
     matches = needed.mapInPandas(build_matcher(ruleset),
                                  schema=MATCH_SCHEMA)
-    stateful = any(r.after or r.threshold or r.xbits
+    stateful = any(r.after or r.threshold or r.xbits or r.flexbits
                    for r in ruleset.rules)
     base = (matches
             .withColumn("suppress_after", F.lit(False))
             .withColumn("suppress_thresh", F.lit(False))
-            .withColumn("xbit_pass", F.lit(True)))
+            .withColumn("xbit_pass", F.lit(True))
+            .withColumn("flexbit_pass", F.lit(True)))
     if not stateful:
         return base
     timeout = ("ProcessingTimeTimeout" if state_timeout_ms
@@ -166,8 +177,8 @@ def run_stream_to_parquet(spark, in_path: str, out_path: str,
     alerts = streaming_alerts(spark, read_transcript_stream(spark, in_path),
                               ruleset)
     emitted = alerts.filter(
-        F.col("xbit_pass") & ~F.col("suppress_after") &
-        ~F.col("suppress_thresh"))
+        F.col("xbit_pass") & F.col("flexbit_pass") &
+        ~F.col("suppress_after") & ~F.col("suppress_thresh"))
     return (emitted.writeStream
             .format("parquet")
             .option("path", out_path)

@@ -218,3 +218,184 @@ def test_fixture_corpus_runs_on_generated_transcripts():
     assert c["events_received"] == c["events_processed"] + c["ignore_count"]
     # multiple distinct rules fire on the template bank
     assert len({a["sid"] for a in out["alerts"]}) >= 8
+
+
+# ---------------------------------------------------------------------------
+# flexbits (A4) — src/flexbit-mmap.c semantics
+# ---------------------------------------------------------------------------
+
+def test_flexbit_set_isset_by_src():
+    rules = '''
+alert syslog any any -> any any (msg:"set"; content:"reboot"; flexbits: set,win_reboot,100; sid:1;)
+alert syslog any any -> any any (msg:"chk"; content:"av off"; flexbits: isset,by_src,win_reboot; sid:2;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "av off early", T0),        # isset before set → no
+           ev("c1", 1, "reboot now", T0 + 10),     # set
+           ev("c1", 2, "av off after", T0 + 50),   # live + same src → alert
+           ev("c2", 3, "av off other", T0 + 50),   # other conv → no
+           ev("c1", 4, "av off late", T0 + 200)]   # expired → no
+    out = e.run(evs)
+    got = [(a["sid"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_flexbit_isnotset_direction_none_is_global():
+    """direction none: ANY live entry with the name anywhere blocks
+    isnotset (flexbit-mmap.c:347-362)."""
+    rules = '''
+alert syslog any any -> any any (msg:"set"; content:"arm"; flexbits: set,g,1000; sid:1;)
+alert syslog any any -> any any (msg:"chk"; content:"fresh"; flexbits: isnotset,none,g; sid:2;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "fresh a", T0),
+           ev("c1", 1, "arm", T0 + 10),
+           ev("c2", 2, "fresh b", T0 + 20)]  # other conv, but none == global
+    out = e.run(evs)
+    got = [(a["sid"], a["conv_id"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [(2, "c1", 0), (1, "c1", 1)]
+
+
+def test_flexbit_reverse_direction_with_parsed_ips():
+    """reverse: stored (A→B) matches a current (B→A) event
+    (flexbit-mmap.c:168-180)."""
+    rules = '''
+alert syslog any any -> any any (msg:"set"; content:"outbound"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set,conv,1000; sid:1;)
+alert syslog any any -> any any (msg:"chk"; content:"inbound"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: isset,reverse,conv; sid:2;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "outbound 10.0.0.1 to 10.0.0.2", T0),
+           ev("c1", 1, "inbound 10.0.0.2 to 10.0.0.1", T0 + 10),   # reversed
+           ev("c1", 2, "inbound 10.0.0.1 to 10.0.0.2", T0 + 20)]   # same dir
+    out = e.run(evs)
+    got = [(a["sid"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [(1, 0), (2, 1)]
+
+
+def test_flexbit_unset():
+    rules = '''
+alert syslog any any -> any any (msg:"set"; content:"on"; flexbits: set,u,1000; sid:1;)
+alert syslog any any -> any any (msg:"off"; content:"off"; flexbits: unset,by_src,u; sid:2;)
+alert syslog any any -> any any (msg:"chk"; content:"check"; flexbits: isset,by_src,u; sid:3;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "on", T0), ev("c1", 1, "check", T0 + 10),
+           ev("c1", 2, "off", T0 + 20), ev("c1", 3, "check", T0 + 30)]
+    out = e.run(evs)
+    got = [(a["sid"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [(1, 0), (3, 1), (2, 2)]
+
+
+def test_flexbit_count_name_agnostic_quirk():
+    """Count tallies store entries matching the direction-IP regardless of
+    name OR state (flexbit-mmap.c:683-744) — distributed-attack counting.
+    Needs parse ips so entries differ in dst (same src)."""
+    rules = '''
+alert syslog any any -> any any (msg:"set"; content:"touch"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set,seen,1000; sid:1;)
+alert syslog any any -> any any (msg:"q"; content:"query"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set,probe,1000; flexbits: count,by_src,gt 2; sid:2;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "touch 10.9.0.1 to 10.0.0.2", T0),
+           ev("c1", 1, "touch 10.9.0.1 to 10.0.0.3", T0 + 1),
+           ev("c1", 2, "query 10.9.0.1 to 10.0.0.9", T0 + 2),  # cnt=2 → no
+           ev("c1", 3, "touch 10.9.0.1 to 10.0.0.4", T0 + 3),  # cnt → 3
+           ev("c1", 4, "query 10.9.0.1 to 10.0.0.8", T0 + 4)]  # 3 > 2 ✓
+    out = e.run(evs)
+    got = [(a["sid"], a["turn_idx"]) for a in out["alerts"]]
+    # sid1 fires on every touch (set-only passes the gate); the blocked
+    # query at turn 2 does NOT create its own 'probe' entry (Flexbit_Set
+    # runs inside the gate chain, engine.c:1467-1570), so only the third
+    # touch pushes the per-src count past 2
+    assert got == [(1, 0), (1, 1), (1, 3), (2, 4)]
+
+
+def test_flexbit_count_only_rule_never_passes_gate():
+    """Gate quirk (engine.c:1470-1474): count without set/cond never
+    satisfies any disjunct."""
+    rules = ('alert syslog any any -> any any (msg:"m"; content:"x"; '
+             'flexbits: count,by_src,gt 0; sid:1;)')
+    e = engine(rules)
+    out = e.run([ev("c1", 0, "x", T0), ev("c1", 1, "x", T0 + 1)])
+    assert out["alerts"] == []
+
+
+def test_xbit_combined_with_after_engine_order():
+    """xbit isset gates BEFORE the after counter (engine.c:1132 vs 1516):
+    rows failing isset never increment after state."""
+    rules = '''
+alert syslog any any -> any any (msg:"arm"; content:"arm"; xbits: set,ab,track ip_src,expire 1000; sid:1;)
+alert syslog any any -> any any (msg:"m"; content:"hit"; xbits: isset,ab,track ip_src; after: track by_src, count 1, seconds 300; sid:2;)
+'''
+    e = engine(rules)
+    evs = [ev("c1", 0, "hit", T0),        # isset fails → no after count
+           ev("c1", 1, "arm", T0 + 10),
+           ev("c1", 2, "hit", T0 + 20),   # count=1 → suppressed (C=1)
+           ev("c1", 3, "hit", T0 + 30)]   # count=2 > 1 → fires
+    out = e.run(evs)
+    got = [(a["sid"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [(1, 1), (2, 3)]
+
+
+def test_after_track_ports_only_key():
+    """track by_srcport&by_dstport with extracted ports: the state key is
+    the port pair (after.c:108-110), shared across conversations."""
+    rules = ('alert syslog any any -> any any (msg:"m"; '
+             'content:"connection from"; parse_src_ip: 1; '
+             'after: track by_srcport&by_dstport, count 1, seconds 300; '
+             'sid:1;)')
+    e = engine(rules)
+    evs = [ev("a", 0, "connection from 1.1.1.1:99", T0),
+           ev("b", 0, "connection from 2.2.2.2:99", T0 + 1),  # same ports
+           ev("a", 1, "connection from 1.1.1.1:77", T0 + 2)]  # new port key
+    out = e.run(evs)
+    # port-99 key: count 1 suppressed, count 2 fires; port-77 key: suppressed
+    got = [(a["conv_id"], a["turn_idx"]) for a in out["alerts"]]
+    assert got == [("b", 0)]
+
+
+# ---------------------------------------------------------------------------
+# zeek-intel (J5) + country_code (J6)
+# ---------------------------------------------------------------------------
+
+INTEL = ("198.51.100.7\tIntel::ADDR\tfeed1\n"
+         "evil-domain.example\tIntel::DOMAIN\tfeed1\n"
+         "deadbeefdeadbeefdeadbeefdeadbeef\tIntel::FILE_HASH\tfeed1\n")
+
+
+def test_intel_src_ipaddr_gate():
+    e = OracleEngine(compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"from"; '
+        'parse_src_ip: 1; zeek-intel: src_ipaddr; sid:1;)',
+        intel_text=INTEL))
+    out = e.run([ev("c1", 0, "from 198.51.100.7 ok", T0),
+                 ev("c1", 1, "from 198.51.100.8 ok", T0 + 1)])
+    assert [a["turn_idx"] for a in out["alerts"]] == [0]
+
+
+def test_intel_domain_substring_gate():
+    e = OracleEngine(compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"lookup"; '
+        'zeek-intel: domain; sid:1;)', intel_text=INTEL))
+    out = e.run([ev("c1", 0, "lookup EVIL-domain.example now", T0),
+                 ev("c1", 1, "lookup good.example now", T0 + 1)])
+    assert [a["turn_idx"] for a in out["alerts"]] == [0]  # stristr nocase
+
+
+def test_geoip_is_isnot_and_skip():
+    geo = "198.51.100.0/24,RU\n203.0.113.0/24,US\n"
+    rules_is = ('alert syslog any any -> any any (msg:"m"; content:"from"; '
+                'parse_src_ip: 1; country_code: track by_src, is RU; sid:1;)')
+    e = OracleEngine(compile_ruleset(rules_is, geoip_text=geo))
+    out = e.run([ev("c1", 0, "from 198.51.100.9", T0),       # RU → is → hit
+                 ev("c1", 1, "from 203.0.113.9", T0 + 1),    # US → no
+                 ev("c1", 2, "from 192.168.1.1", T0 + 2)])   # private → SKIP
+    assert [a["turn_idx"] for a in out["alerts"]] == [0]
+
+    rules_isnot = ('alert syslog any any -> any any (msg:"m"; content:"from"; '
+                   'parse_src_ip: 1; country_code: track by_src, isnot US; '
+                   'sid:1;)')
+    e2 = OracleEngine(compile_ruleset(rules_isnot, geoip_text=geo))
+    out2 = e2.run([ev("c1", 0, "from 198.51.100.9", T0),     # RU ≠ US → hit
+                   ev("c1", 1, "from 203.0.113.9", T0 + 1),  # US → blocked
+                   ev("c1", 2, "from 192.168.1.1", T0 + 2)])  # SKIP → blocked
+    assert [a["turn_idx"] for a in out2["alerts"]] == [0]

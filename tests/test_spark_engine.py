@@ -166,3 +166,180 @@ def test_hot_conversation_skew(spark, fixture_ruleset):
     o, res = run_both(spark, rows, fixture_ruleset)
     assert_alerts_equal(o, res)
     assert_counters_equal(o, res)
+
+
+def _rows_from(seqs):
+    """seqs: {conv: [(turn, text, epoch_off), ...]} → row dicts."""
+    from datetime import datetime, timezone
+    T0 = 1704067200
+    rows = []
+    for conv, items in seqs.items():
+        for t, txt, off in items:
+            rows.append({
+                "conv_id": conv, "turn_idx": t, "role": "user",
+                "text": txt, "tool": "sshd",
+                "ts": datetime.fromtimestamp(T0 + off, tz=timezone.utc)})
+    return rows
+
+
+def test_flexbit_conv_keyed_equality(spark):
+    """Flexbits on the conv-fallback fast path: set/isset/unset/expiry
+    through the unified engine-order fold."""
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"set"; content:"reboot"; '
+        'flexbits: set,wr,100; sid:1;)\n'
+        'alert syslog any any -> any any (msg:"chk"; content:"avoff"; '
+        'flexbits: isset,by_src,wr; sid:2;)\n'
+        'alert syslog any any -> any any (msg:"off"; content:"clear"; '
+        'flexbits: unset,by_src,wr; sid:3;)')
+    rows = _rows_from({
+        "c1": [(0, "avoff early", 0), (1, "reboot", 10), (2, "avoff", 50),
+               (3, "clear", 60), (4, "avoff post-unset", 70),
+               (5, "reboot", 80), (6, "avoff expired", 300)],
+        "c2": [(0, "avoff other conv", 55)],
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_flexbit_general_path_equality(spark):
+    """Flexbits with parse-extracted IPs take the serial flexbit stage
+    (reverse direction across extracted address pairs)."""
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"out"; content:"outbound"; '
+        'parse_src_ip: 1; parse_dst_ip: 2; flexbits: set,cv,1000; sid:1;)\n'
+        'alert syslog any any -> any any (msg:"in"; content:"inbound"; '
+        'parse_src_ip: 1; parse_dst_ip: 2; flexbits: isset,reverse,cv; '
+        'sid:2;)')
+    rows = _rows_from({
+        "c1": [(0, "outbound 10.0.0.1 to 10.0.0.2", 0),
+               (1, "inbound 10.0.0.2 to 10.0.0.1", 10),
+               (2, "inbound 10.0.0.1 to 10.0.0.2", 20),
+               (3, "inbound 10.0.0.3 to 10.0.0.1", 30)],
+        "c2": [(0, "outbound 10.0.1.1 to 10.0.1.2", 5),
+               (1, "inbound 10.0.1.2 to 10.0.1.1", 15)],
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_xbit_with_after_conv_keyed_equality(spark):
+    """xbit⊕after in one rule — allowed on the conv-keyed path, exact
+    engine-order interleaving (engine.c:1132/1516/1560)."""
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"arm"; content:"arm"; '
+        'xbits: set,ab,track ip_src,expire 1000; sid:1;)\n'
+        'alert syslog any any -> any any (msg:"m"; content:"hit"; '
+        'xbits: isset,ab,track ip_src; '
+        'after: track by_src, count 1, seconds 300; sid:2;)')
+    rows = _rows_from({
+        "c1": [(0, "hit", 0), (1, "arm", 10), (2, "hit", 20), (3, "hit", 30),
+               (4, "hit", 40)],
+        "c2": [(0, "arm", 0), (1, "hit", 5), (2, "hit", 15)],
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_multi_track_xbits_conv_keyed(spark):
+    """Two xbits with different tracks in one rule (lifted restriction)."""
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"a"; content:"seta"; '
+        'xbits: set,ba,track ip_src,expire 1000; sid:1;)\n'
+        'alert syslog any any -> any any (msg:"b"; content:"setb"; '
+        'xbits: set,bb,track ip_pair,expire 1000; sid:2;)\n'
+        'alert syslog any any -> any any (msg:"c"; content:"check"; '
+        'xbits: isset,ba,track ip_src; xbits: isset,bb,track ip_pair; '
+        'sid:3;)')
+    rows = _rows_from({
+        "c1": [(0, "check", 0), (1, "seta", 10), (2, "check", 20),
+               (3, "setb", 30), (4, "check", 40)],
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_after_ports_only_track_general_path(spark):
+    """after track by_srcport&by_dstport (no conv component) must NOT take
+    the conv-partitioned path — the key is global across conversations
+    (ADVICE item: conv partitioning would fragment one shared counter)."""
+    from sagan_spark.correlate import conv_keyed_only
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; '
+        'content:"connection from"; parse_src_ip: 1; '
+        'after: track by_srcport&by_dstport, count 1, seconds 300; sid:1;)')
+    assert not conv_keyed_only(rules)
+    rows = _rows_from({
+        "a": [(0, "connection from 1.1.1.1:99", 0),
+              (1, "connection from 1.1.1.1:77", 2)],
+        "b": [(0, "connection from 2.2.2.2:99", 1)],
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_ports_only_track_fallback_rejects_conv_path(spark):
+    """Same advice item, fallback addressing: by_username-only track on a
+    rule without extraction yields one global key — must leave the
+    conv-keyed fast path rather than fragment the counter."""
+    from sagan_spark.correlate import conv_keyed_only
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"probe"; '
+        'after: track by_username, count 2, seconds 300; sid:1;)')
+    assert not conv_keyed_only(rules)
+    rows = _rows_from({
+        "a": [(0, "probe", 0), (1, "probe", 2)],
+        "b": [(0, "probe", 1), (1, "probe", 3)],
+    })
+    o, res = run_both(spark, rows, rules)
+    # global counter: suppress first 2 (count 2), fire on 3rd and 4th
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_intel_and_geoip_gates_equality(spark):
+    intel = ("198.51.100.7\tIntel::ADDR\tfeed1\n"
+             "evil-domain.example\tIntel::DOMAIN\tfeed1\n")
+    geo = "198.51.100.0/24,RU\n203.0.113.0/24,US\n"
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"i"; content:"from"; '
+        'parse_src_ip: 1; zeek-intel: src_ipaddr, domain; sid:1;)\n'
+        'alert syslog any any -> any any (msg:"g"; content:"from"; '
+        'parse_src_ip: 1; country_code: track by_src, isnot US; sid:2;)',
+        intel_text=intel, geoip_text=geo)
+    rows = _rows_from({
+        "c1": [(0, "from 198.51.100.7 x", 0),      # intel IP + RU country
+               (1, "from 203.0.113.9 x", 10),      # US → geoip blocked
+               (2, "from 198.51.100.8 x", 20),     # RU, not intel
+               (3, "from 8.8.8.8 evil-domain.example", 30),  # domain hit
+               (4, "from 192.168.0.5 x", 40)],     # private → geoip skip
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_alert_reference_and_gen_msg_columns(spark):
+    """J2/J3 wired into the alert sink: ref_urls is the sorted,
+    comma-joined [Xref => url] block (references.c:141-209); gen_msg from
+    the (gid, sid) map (gen-msg.c:132-148)."""
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"refhit"; '
+        'reference:url,example.com/a; reference:cve,2024-0001; sid:7;)',
+        reference_text=("config reference: url,http://\n"
+                        "config reference: cve,http://cve.mitre.org/"
+                        "cgi-bin/cvename.cgi?name=\n"),
+        gen_msg_text="5000001 || 7 || sagan test generator\n")
+    rows = _rows_from({"c1": [(0, "refhit now", 0)]})
+    res = run_pipeline(spark, spark_df_from_rows(spark, rows), rules)
+    a = res.alerts.toPandas()
+    assert len(a) == 1
+    assert a["ref_urls"].iloc[0] == (
+        "http://cve.mitre.org/cgi-bin/cvename.cgi?name=2024-0001,"
+        "http://example.com/a")
+    assert a["gen_msg"].iloc[0] == "sagan test generator"

@@ -41,7 +41,11 @@ def _batch_result(spark, rows, ruleset) -> pd.DataFrame:
 
 def _stream_result(spark, in_dir, ruleset, max_files) -> pd.DataFrame:
     stream = read_transcript_stream(spark, in_dir, max_files=max_files)
-    corr = streaming_alerts(spark, stream, ruleset)
+    # state_timeout_ms=0: explicit eviction opt-out so
+    # processAllAvailable() settles (the default ProcessingTimeTimeout
+    # keeps scheduling no-data cleanup batches); the default path is
+    # covered by test_default_state_timeout
+    corr = streaming_alerts(spark, stream, ruleset, state_timeout_ms=0)
     q = (corr.select(*EMIT_COLS).writeStream
          .format("memory").queryName("stream_out")
          .outputMode("append").start())
@@ -103,3 +107,18 @@ def test_streaming_rejects_ip_keyed_rules(spark, ruleset, tmp_path):
     os.makedirs(empty, exist_ok=True)
     with pytest.raises(ValueError):
         streaming_alerts(spark, read_transcript_stream(spark, empty), rs)
+
+
+def test_default_state_timeout(ruleset):
+    """Eviction default = 2x the largest rule window (the Clean_IPC_Object
+    analog, src/ipc.c:79-200) so long-running streams bound their state."""
+    from sagan_spark.streaming import default_state_timeout_ms
+    horizon = 0
+    for r in ruleset.rules:
+        if r.after:
+            horizon = max(horizon, r.after.seconds)
+        if r.threshold:
+            horizon = max(horizon, r.threshold.seconds)
+        for xb in r.xbits:
+            horizon = max(horizon, xb.expire)
+    assert default_state_timeout_ms(ruleset) == 2 * horizon * 1000
