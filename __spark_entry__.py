@@ -271,6 +271,20 @@ def _ruleset():
     return compile_ruleset_from_dir(os.path.join(REPO, "rules-entry"))
 
 
+@lru_cache(maxsize=1)
+def _flex_ruleset():
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    return compile_ruleset_from_dir(
+        os.path.join(REPO, "rules-entry", "flexbit"))
+
+
+@lru_cache(maxsize=1)
+def _gates_ruleset():
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    return compile_ruleset_from_dir(
+        os.path.join(REPO, "rules-entry", "gates"))
+
+
 def _matches_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.match import run_match
     from sagan_spark.parse import parse_transcripts, split_ignored
@@ -370,6 +384,179 @@ def _q_enrich_classtype(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (enrich_alerts(m, spark, _ruleset())
             .select("conv_id", "turn_idx", "sid", "classtype", "class_desc",
                     F.col("pri").cast("int").alias("pri")))
+
+
+# ---------------------------------------------------------------------------
+# queries — flexbits, gates, JSON input, sinks (round-2 operator surface)
+# ---------------------------------------------------------------------------
+
+def _q_correlate_flexbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: flexbit set → isset by_src pair with 3-day expiry
+    (flexbit-mmap.c:745-1467 set, 104-116 isset-by_src)."""
+    from sagan_spark.correlate import run_correlate
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _flex_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    corr = run_correlate(run_match(parsed, rs), rs)
+    return (corr.filter(F.col("sid").isin(6100001, 6100002))
+            .select("conv_id", "turn_idx", "sid", "flexbit_pass"))
+
+
+def _q_flexbit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: flexbit count gt comparator (flexbit-mmap.c:671-744) — passes
+    once any store entry exists for the source."""
+    from sagan_spark.correlate import run_correlate
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _flex_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    corr = run_correlate(run_match(parsed, rs), rs)
+    return (corr.filter(F.col("sid") == 6100003)
+            .select("conv_id", "turn_idx", "flexbit_pass"))
+
+
+def _q_intel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: zeek-intel ADDR + DOMAIN membership gates
+    (engine.c:1396-1459)."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid").isin(6200001, 6200003))
+            .select("conv_id", "turn_idx", "sid", "ip_src"))
+
+
+def _q_geoip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: country_code interval-table gate (geoip.c:93-206,
+    engine.c:1161-1225)."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid") == 6200002)
+            .select("conv_id", "turn_idx", "ip_src"))
+
+
+# JSON-derived event table: identical SQL text in both dialects
+_J_TEMPLATE = """
+SELECT 'conv-' || LPAD(CAST(user_id AS STRING), 8, '0') AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INT) AS turn_idx,
+  CASE WHEN event_id % 5 = 0 THEN 'not json at all'
+       WHEN event_id % 5 = 1 THEN '{"src":"10.0.'
+            || CAST(event_id % 200 AS STRING)
+            || '.1","prog":"sshd","msg":"login failed for root"}'
+       WHEN event_id % 5 = 2 THEN '{"src":"10.1.2.3","msg":"no prog key"}'
+       WHEN event_id % 5 = 3 THEN
+            '{"src":"10.9.9.9","prog":"nginx","msg":"GET /index"}'
+       ELSE '{broken json' END AS text
+FROM events
+"""
+
+
+def _q_parse_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: json-input.map-driven field projection with UNDEFINED
+    defaults, the leading-space message quirk, and the malformed counter
+    (input-json.c:45-160)."""
+    from sagan_spark.json_input import load_json_input_map, parse_json_input
+    _register(spark, sf_dir)
+    with open(os.path.join(REPO, "rules-entry", "json",
+                           "json-input.map")) as f:
+        mapping = load_json_input_map(f.read(), software="testsuite")
+    j = spark.sql(_J_TEMPLATE)
+    return parse_json_input(j, mapping).select(
+        "conv_id", "turn_idx", "malformed_json", "host", "program",
+        "message")
+
+
+# embedded-JSON table: program-mode (case 2) and message-mode payloads
+_EJ_TEMPLATE = """
+SELECT 'conv-' || LPAD(CAST(user_id AS STRING), 8, '0') AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INT) AS turn_idx,
+  CASE WHEN event_id % 4 = 2 THEN '{"client_ip":"10.7.7.'
+            || CAST(event_id % 250 AS STRING) || '","acct":"frank",'
+       ELSE 'app' END AS program,
+  CASE WHEN event_id % 4 = 0 THEN ' plain text login failed'
+       WHEN event_id % 4 = 1 THEN ' {"src_ip":"10.0.'
+            || CAST(event_id % 200 AS STRING)
+            || '.9","md5":"' || REPEAT('ab', 16)
+            || '","user":"mary","msg":"embedded one"}'
+       WHEN event_id % 4 = 2 THEN '"log":"program json"}'
+       ELSE ' {"client_ip":"10.3.3.3","acct":"bob","log":"second map"}'
+  END AS message
+FROM events
+"""
+
+
+def _q_embedded_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: embedded-JSON detector + best-scoring message map re-extract
+    (engine.c:239-291, message-json-map.c scoring)."""
+    from sagan_spark.json_input import (
+        extract_embedded_json,
+        load_message_json_maps,
+    )
+    _register(spark, sf_dir)
+    with open(os.path.join(REPO, "rules-entry", "json",
+                           "json-message.map")) as f:
+        maps = load_message_json_maps(f.read())
+    j = spark.sql(_EJ_TEMPLATE)
+    return extract_embedded_json(j, maps).select(
+        "conv_id", "turn_idx", "json_message", "json_src_ip", "json_md5",
+        "json_username")
+
+
+def _q_enrich_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 wired into the alert sink: sorted Xref URL block
+    (references.c:141-209) + generator message (gen-msg.c:132-148)."""
+    from sagan_spark.pipeline import run_pipeline
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return (res.alerts.filter(F.col("sid").isin(6000001, 6000004))
+            .select("conv_id", "turn_idx", "sid", "ref_urls", "gen_msg"))
+
+
+def _q_fast_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: one-line Snort fast format (fast.c:46-80)."""
+    from sagan_spark.pipeline import run_pipeline
+    from sagan_spark.route import fast_sink
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return fast_sink(res.correlated, _ruleset())
+
+
+def _q_unified2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: unified2 record fields as a typed routed table
+    (unified2.c:140-175)."""
+    from sagan_spark.pipeline import run_pipeline
+    from sagan_spark.route import unified2_sink
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return unified2_sink(res.correlated, _ruleset())
+
+
+_TRACK_TIMEOUT = 43200   # 12h — half the 3-day correlation horizon
+
+
+def _q_track_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 full semantics: per-source quiet (DOWN) / return (UP)
+    transitions with a timeout (track-clients.c:72-367)."""
+    from sagan_spark.parse import parse_transcripts
+    from sagan_spark.route import track_client_transitions
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return track_client_transitions(parsed, _TRACK_TIMEOUT)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded equi-join + exact verify) —
+    equals the all-pairs result at the threshold; the scale-safe dedup
+    path and the headline dedup benchline."""
+    from sagan_spark.functions.dedup import minhash_lsh_pairs
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) < 400)
+    return (minhash_lsh_pairs(docs, threshold=0.8)
+            .select("doc_a", "doc_b",
+                    F.col("jaccard").cast("double").alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -785,6 +972,381 @@ SELECT doc_id, {mins} FROM h GROUP BY doc_id
 
 _ORACLES["minhash_sig"] = _minhash_oracle()
 
+
+def _simhash_oracle() -> str:
+    """Exact SimHash64 reconstruction: the bit-vote basis is two
+    md5-derived 32-bit halves (dedup.simhash), so DuckDB reproduces the
+    identical signature bit-for-bit."""
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h{1 if b < 32 else 2} >> {b % 32}) & 1 = 1 "
+        f"THEN w ELSE -w END) AS v{b}"
+        for b in range(64))
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE 0 END)" for b in range(63))
+    top = ("(CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+           "ELSE 0 END)")
+    return rf"""
+WITH d AS (SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+tk AS (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM d),
+tw AS (SELECT doc_id, tok, COUNT(*) AS w FROM tk WHERE len(tok) > 0
+       GROUP BY 1, 2),
+h AS (SELECT doc_id, w,
+        CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h1,
+        CAST(CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) AS BIGINT) AS h2
+      FROM tw),
+v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {terms} + {top} AS simhash FROM v
+"""
+
+
+_ORACLES["simhash64"] = _simhash_oracle()
+
+_ORACLES["media_features"] = f"""
+WITH m AS (SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
+                  CAST(text AS BLOB) AS b
+           FROM documents)
+SELECT media_id, kind,
+       COALESCE(ROUND(list_avg(list_transform(
+           generate_series(1, octet_length(b)),
+           i -> CAST(('0x' || substr(hex(b), 2*i-1, 2)) AS INT)))
+           / 255.0, 6), 0.0) AS f0
+FROM m
+"""
+
+
+def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 4, dim: int = 64,
+                    k: int = 5) -> str:
+    """Exact LSH-ANN reconstruction: the sin-based hyperplanes are
+    generated by the SAME Python function as the Spark query and inlined
+    as repr'd double literals, so bucket assignment and rerank are
+    engine-identical."""
+    from sagan_spark.functions.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_bands * band_bits)
+
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket_expr(b):
+        # Spark folds bits MSB-first: bucket = ((b0*2+b1)*2+b2)*2+b3
+        terms = []
+        for i in range(band_bits):
+            bit = (f"(CASE WHEN list_dot_product(emb, "
+                   f"{arr(planes[b * band_bits + i])}) >= 0 "
+                   f"THEN 1 ELSE 0 END)")
+            terms.append(f"{bit} * {2 ** (band_bits - 1 - i)}")
+        return " + ".join(terms)
+
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM v"
+        for b in range(n_bands))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+vb AS ({band_sel}),
+qb AS (SELECT * FROM vb WHERE vec_id < 5),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+         FROM qb JOIN vb ON qb.band = vb.band AND qb.bucket = vb.bucket
+         WHERE vb.vec_id <> qb.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+      ROUND(list_dot_product(q.emb, n.emb) /
+            (SQRT(list_dot_product(q.emb, q.emb)) *
+             SQRT(list_dot_product(n.emb, n.emb))), 6) AS cosine
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+        AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+_ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+# flexbit pair: window MAX of the last set-event epoch re-derives the
+# store's liveness (entries update expiry on every set; no unsets here)
+_FLEX_M = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text, epoch FROM t),
+fm AS (
+  SELECT conv_id, turn_idx, epoch, CAST(6100001 AS BIGINT) AS sid
+  FROM p WHERE text LIKE '%stage1 marker%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, CAST(6100002 AS BIGINT)
+  FROM p WHERE text LIKE '%stage2 marker%'
+  UNION ALL
+  SELECT conv_id, turn_idx, epoch, CAST(6100003 AS BIGINT)
+  FROM p WHERE text LIKE '%probe attempt%'),
+fx AS (SELECT *, MAX(CASE WHEN sid = 6100001 THEN epoch END) OVER
+         (PARTITION BY conv_id ORDER BY epoch, turn_idx, sid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_set
+       FROM fm)
+"""
+
+_ORACLES["correlate_flexbit"] = _FLEX_M + f"""
+SELECT conv_id, turn_idx, sid,
+       CASE WHEN sid = 6100001 THEN TRUE
+            ELSE (last_set IS NOT NULL AND epoch < last_set + {_S}) END
+         AS flexbit_pass
+FROM fx WHERE sid IN (6100001, 6100002)
+"""
+
+# count is expiry- and state-agnostic (flexbit-mmap.c:671-744 checks
+# neither), so pass ⇔ ANY prior set-entry for the source exists — and the
+# only prior entry creators for a conv are stage1 sets (a blocked F3 row
+# cannot create its own probe_seen entry, engine.c:1467-1570 nesting)
+_ORACLES["flexbit_count"] = _FLEX_M + """
+SELECT conv_id, turn_idx, (last_set IS NOT NULL) AS flexbit_pass
+FROM fx WHERE sid = 6100003
+"""
+
+_INTEL_IPS = "'12.8.1.9', '12.16.2.17', '12.64.9.65', '12.128.18.129'"
+
+_ORACLES["intel_gate"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t)
+SELECT conv_id, turn_idx, CAST(6200001 AS BIGINT) AS sid,
+       regexp_extract(text, 'from ({_IP4})', 1) AS ip_src
+FROM p WHERE text LIKE '%Invalid login from%'
+        AND regexp_extract(text, 'from ({_IP4})', 1) IN ({_INTEL_IPS})
+UNION ALL
+SELECT conv_id, turn_idx, CAST(6200003 AS BIGINT), conv_id
+FROM p WHERE text LIKE '%marker%' AND lower(text) LIKE '%cmd=alpha%'
+"""
+
+_ORACLES["geoip_gate"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t),
+e AS (SELECT conv_id, turn_idx,
+             regexp_extract(text, 'from ({_IP4})', 1) AS ip_src
+      FROM p WHERE text LIKE '%Invalid login from%')
+SELECT conv_id, turn_idx, ip_src FROM e
+WHERE CAST(string_split(ip_src, '.')[2] AS INT) >= 128
+"""
+
+_ORACLES["parse_json_map"] = f"""
+WITH j AS ({_J_TEMPLATE}),
+v AS (SELECT *, (CASE WHEN json_valid(text) THEN 0 ELSE 1 END) AS bad
+      FROM j)
+SELECT conv_id, turn_idx, bad AS malformed_json,
+  CASE WHEN bad = 1 THEN 'UNDEFINED'
+       ELSE COALESCE(json_extract_string(text, '$.src'), 'UNDEFINED') END
+    AS host,
+  CASE WHEN bad = 1 THEN 'UNDEFINED'
+       ELSE COALESCE(json_extract_string(text, '$.prog'), 'UNDEFINED') END
+    AS program,
+  CASE WHEN bad = 1 THEN 'UNDEFINED'
+       WHEN json_extract_string(text, '$.msg') IS NULL THEN 'UNDEFINED'
+       ELSE ' ' || json_extract_string(text, '$.msg') END
+    AS message
+FROM v
+"""
+
+_ORACLES["embedded_json"] = f"""
+WITH j AS ({_EJ_TEMPLATE}),
+d AS (SELECT conv_id, turn_idx, program, message,
+        ((substr(program, 1, 1) = '{{') OR (substr(program, 2, 1) = '{{') OR
+         (substr(message, 2, 1) = '{{') OR (substr(message, 3, 1) = '{{'))
+          AS det,
+        CASE WHEN substr(program, 1, 1) = '{{' OR substr(program, 2, 1) = '{{'
+             THEN program || message ELSE message END AS merged
+      FROM j),
+pl AS (SELECT conv_id, turn_idx,
+         substr(merged, strpos(merged, '{{')) AS payload,
+         det AND strpos(merged, '{{') > 0 AS maybe
+       FROM d),
+sc AS (SELECT conv_id, turn_idx, payload,
+         maybe AND json_valid(payload) AS ok,
+         CASE WHEN maybe AND json_valid(payload) THEN
+             (CASE WHEN json_extract_string(payload, '$.msg') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.src_ip') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.dst_ip') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.sport') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.dport') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.md5') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.user') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           ELSE 0 END AS s1,
+         CASE WHEN maybe AND json_valid(payload) THEN
+             (CASE WHEN json_extract_string(payload, '$.log') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.client_ip')
+                   IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN json_extract_string(payload, '$.acct') IS NOT NULL
+                   THEN 1 ELSE 0 END)
+           ELSE 0 END AS s2
+       FROM pl),
+w AS (SELECT *, CASE WHEN s1 >= s2 AND s1 > 0 THEN 1
+                     WHEN s2 > 0 THEN 2 ELSE 0 END AS win
+      FROM sc)
+SELECT conv_id, turn_idx,
+  CASE WHEN win = 1 THEN COALESCE(json_extract_string(payload, '$.msg'), '')
+       WHEN win = 2 THEN COALESCE(json_extract_string(payload, '$.log'), '')
+       ELSE '' END AS json_message,
+  CASE WHEN win = 1 THEN
+         COALESCE(json_extract_string(payload, '$.src_ip'), '')
+       WHEN win = 2 THEN
+         COALESCE(json_extract_string(payload, '$.client_ip'), '')
+       ELSE '' END AS json_src_ip,
+  CASE WHEN win = 1 THEN COALESCE(json_extract_string(payload, '$.md5'), '')
+       ELSE '' END AS json_md5,
+  CASE WHEN win = 1 THEN COALESCE(json_extract_string(payload, '$.user'), '')
+       WHEN win = 2 THEN COALESCE(json_extract_string(payload, '$.acct'), '')
+       ELSE '' END AS json_username
+FROM w
+"""
+
+_E1_REFS = ("http://cve.mitre.org/cgi-bin/cvename.cgi?name=2024-1111,"
+            "http://example.com/e1")
+
+_ORACLES["enrich_references"] = _PIPE_PRELUDE + f"""
+SELECT e.conv_id, e.turn_idx, e.sid,
+       CASE WHEN e.sid = 6000001 THEN '{_E1_REFS}' ELSE '' END AS ref_urls,
+       CASE WHEN e.sid = 6000001 THEN 'sagan invalid-login engine'
+            WHEN e.sid = 6000004 THEN 'sagan brute-force engine'
+            ELSE '' END AS gen_msg
+FROM emitted e
+WHERE e.sid IN (6000001, 6000004)
+  AND NOT e.sup_after AND NOT e.sup_thresh AND e.xpass
+"""
+
+_ORACLES["fast_sink"] = _PIPE_PRELUDE + """
+, fj AS (
+  SELECT e.*, c.class_pri, t2.ts
+  FROM emitted e
+  JOIN cls c ON e.classtype = c.classtype
+  JOIN t t2 ON e.conv_id = t2.conv_id AND e.turn_idx = t2.turn_idx
+  WHERE NOT e.sup_after AND NOT e.sup_thresh AND e.xpass)
+SELECT fj.conv_id, fj.turn_idx,
+  strftime(fj.ts, '%m/%d/%Y-%H:%M:%S.%f')
+  || ' [**] [5000001:' || CAST(fj.sid AS VARCHAR) || ':'
+  || CAST(fj.rev AS VARCHAR) || '] ' || fj.msg
+  || ' [**] [Classification: ' || fj.classtype
+  || '] [Priority: ' || CAST(fj.class_pri AS VARCHAR)
+  || '] [Program: ' || t4.tool || '] {UDP} '
+  || fj.ip_src || ':' || CAST(fj.src_port AS VARCHAR) || ' -> '
+  || fj.ip_dst || ':' || CAST(fj.dst_port AS VARCHAR) AS fast_line
+FROM fj JOIN t t4 ON fj.conv_id = t4.conv_id AND fj.turn_idx = t4.turn_idx
+"""
+
+_CLS_IDS = ", ".join(
+    f"('{k}', {i + 1})" for i, k in enumerate((
+        "not-suspicious", "unsuccessful-user", "attempted-recon",
+        "attempted-admin", "brute-force", "suspicious-login",
+        "suspicious-command", "suspicious-filename-detect",
+        "hardware-event", "misc-attack")))
+
+_ORACLES["unified2_table"] = _PIPE_PRELUDE + f"""
+, u AS (
+  SELECT e.*, c.class_pri, t2.ts
+  FROM emitted e
+  JOIN cls c ON e.classtype = c.classtype
+  JOIN t t2 ON e.conv_id = t2.conv_id AND e.turn_idx = t2.turn_idx
+  WHERE NOT e.sup_after AND NOT e.sup_thresh AND e.xpass)
+SELECT u.conv_id, u.turn_idx,
+       0 AS sensor_id,
+       u.epoch AS event_second,
+       CAST(epoch_us(u.ts) % 1000000 AS INT) AS event_microsecond,
+       CAST(5000001 AS BIGINT) AS generator_id,
+       u.sid AS signature_id,
+       u.rev AS signature_revision,
+       CAST(ci.cid AS INT) AS classification_id,
+       CAST(u.class_pri AS INT) AS priority_id,
+       u.ip_src AS ip_source,
+       u.ip_dst AS ip_destination,
+       u.src_port AS sport_itype,
+       u.dst_port AS dport_icode,
+       17 AS protocol,
+       0 AS blocked
+FROM u JOIN (VALUES {_CLS_IDS}) ci(classtype, cid)
+  ON u.classtype = ci.classtype
+"""
+
+_ORACLES["track_transitions"] = f"""
+WITH t AS ({T_DUCK}),
+g AS (SELECT conv_id, epoch,
+             LAG(epoch) OVER (PARTITION BY conv_id
+                              ORDER BY epoch, turn_idx) AS prev_epoch
+      FROM t),
+h AS (SELECT MAX(epoch) AS horizon FROM t)
+SELECT conv_id, prev_epoch AS down_epoch, epoch AS up_epoch
+FROM g WHERE prev_epoch IS NOT NULL AND epoch - prev_epoch > {_TRACK_TIMEOUT}
+UNION ALL
+SELECT conv_id, MAX(epoch), CAST(NULL AS BIGINT)
+FROM t GROUP BY conv_id
+HAVING (SELECT horizon FROM h) - MAX(epoch) > {_TRACK_TIMEOUT}
+"""
+
+_ORACLES["minhash_lsh"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+dd AS (SELECT doc_id, {_NORM_DUCK} AS norm FROM d WHERE doc_id % 1000000 < 400),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM dd),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM (SELECT doc_id,
+                    UNNEST(list_transform(
+                        generate_series(1, GREATEST(len(tk) - 2, 1)),
+                        i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+             FROM toks)
+       WHERE len(shingle) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+# EVE JSON render parity (json-handler.c:113-216 field list): the exact
+# to_json string is rebuilt in DuckDB — same key order (struct order),
+# same compact separators, same millisecond timestamp + '+0000' offset,
+# same base64 payload, same md5-derived flow_id.
+_ORACLES["eve_render"] = _PIPE_PRELUDE + """
+, ej AS (
+  SELECT e.conv_id, e.turn_idx, t2.ts, e.sid, e.rev, e.action, e.msg,
+         e.classtype, c.class_pri, e.ip_src, e.src_port, e.ip_dst,
+         e.dst_port, e.proto, e.text
+  FROM emitted e
+  JOIN cls c ON e.classtype = c.classtype
+  JOIN t t2 ON e.conv_id = t2.conv_id AND e.turn_idx = t2.turn_idx
+  WHERE NOT e.sup_after AND NOT e.sup_thresh AND e.xpass)
+SELECT conv_id, turn_idx,
+  CAST(json_object(
+    'timestamp', strftime(ts, '%Y-%m-%dT%H:%M:%S.%g+0000'),
+    'flow_id', CAST(CAST('0x' || substr(md5(conv_id || '|' ||
+                    CAST(turn_idx AS VARCHAR)), 1, 15) AS UBIGINT)
+                    AS BIGINT),
+    'event_type', 'alert',
+    'src_ip', ip_src,
+    'src_port', src_port,
+    'dest_ip', ip_dst,
+    'dest_port', dst_port,
+    'proto', proto,
+    'payload', to_base64(CAST(text AS BLOB)),
+    'alert', json_object(
+        'action', action, 'gid', 5000001, 'signature_id', sid,
+        'rev', rev, 'signature', msg, 'category', classtype,
+        'severity', CAST(class_pri AS INT))
+  ) AS VARCHAR) AS eve
+FROM ej
+"""
+
 _ORACLES["media_metadata"] = f"""
 SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
        'application/x-fake' AS mime,
@@ -850,11 +1412,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "client_stats": _q_client_stats,
         "minhash_sig": _q_minhash_sig,
         "media_metadata": _q_media_metadata,
-        # rows-only (no SQL-expressible oracle; driver records weak check)
         "simhash64": _q_simhash64,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
         "eve_render": _q_eve_render,
+        # round-2 operator surface
+        "correlate_flexbit": _q_correlate_flexbit,
+        "flexbit_count": _q_flexbit_count,
+        "intel_gate": _q_intel_gate,
+        "geoip_gate": _q_geoip_gate,
+        "parse_json_map": _q_parse_json_map,
+        "embedded_json": _q_embedded_json,
+        "enrich_references": _q_enrich_references,
+        "fast_sink": _q_fast_sink,
+        "unified2_table": _q_unified2_table,
+        "track_transitions": _q_track_transitions,
+        "minhash_lsh": _q_minhash_lsh,
     }
 
 

@@ -164,16 +164,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: per-bit weighted vote of token
-    hashes (xxhash64 basis).  Output (doc_id, simhash long)."""
+    hashes.  The 64 hash bits come from two md5-derived 32-bit halves —
+    engine-portable, so the DuckDB oracle reproduces the exact signature
+    (xxhash64 would be Spark-only).  Output (doc_id, simhash long)."""
     toks = (df.select("doc_id", F.explode(
         F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
-        .withColumn("h", F.xxhash64("tok")))
-    # per-bit vote: sum(w * (bit ? 1 : -1)); bit b of h
-    votes = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1,
-                          F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
-             for b in range(64)]
+        .withColumn("h1", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                    .cast("long"))
+        .withColumn("h2", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+                    .cast("long")))
+    # per-bit vote: sum(w * (bit ? 1 : -1)); bits 0-31 from h1, 32-63 h2
+    votes = [F.sum(F.when(
+        F.shiftright("h1" if b < 32 else "h2", b % 32).bitwiseAND(1) == 1,
+        F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
+        for b in range(64)]
     per_doc = toks.groupBy("doc_id").agg(*votes)
     sig = None
     for b in range(64):

@@ -57,7 +57,13 @@ def eve_alert_sink(correlated: DataFrame, ruleset=None) -> DataFrame:
             .select(
                 F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSZ")
                  .alias("timestamp"),
-                F.xxhash64("conv_id", "turn_idx").alias("flow_id"),
+                # deterministic synth flow id (FlowGetId analog,
+                # src/util.c:1641-1660); md5-derived so the DuckDB oracle
+                # computes the identical value (xxhash64 is Spark-only)
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    "|", F.col("conv_id"),
+                    F.col("turn_idx").cast("string"))), 1, 15), 16, 10)
+                .cast("long").alias("flow_id"),
                 F.lit("alert").alias("event_type"),
                 F.col("ip_src").alias("src_ip"),
                 F.col("src_port"),
@@ -89,6 +95,110 @@ def to_eve_json(eve_alerts: DataFrame) -> DataFrame:
         alert_struct.alias("alert"))
     return eve_alerts.select(
         "conv_id", "turn_idx", F.to_json(top).alias("eve"))
+
+
+_PROTO_NUM = {"icmp": 1, "tcp": 6, "udp": 17}   # IP protocol numbers
+
+
+def fast_sink(correlated: DataFrame, ruleset=None) -> DataFrame:
+    """K2 — the one-line Snort "fast" format
+    (src/output-plugins/fast.c:46-80): ``MM/DD/YYYY-HH:MM:SS.uuuuuu
+    [**] [gid:sid:rev] msg [**] [Classification: class] [Priority: p]
+    [Program: prog] {PROTO} src:sport -> dst:dport``.  Timestamp via
+    CreateTimeString type-0 (src/util-time.c:49-64, UTC session);
+    Event->class is the classtype shortname (cf. the strcmp against
+    s_shortname in unified2.c:155-159)."""
+    noalert = [r.sid for r in ruleset.rules if r.noalert] if ruleset else []
+    e = (_excluding(emitted(correlated), noalert)
+         .withColumn("gid", F.lit(GID).cast("long")))
+    proto_up = F.upper("proto")
+    proto_tag = F.when(F.lower("proto").isin(*_PROTO_NUM), proto_up) \
+                 .otherwise(F.lit("UNKNOWN"))
+    line = F.concat(
+        F.date_format("ts", "MM/dd/yyyy-HH:mm:ss.SSSSSS"),
+        F.lit(" [**] ["), F.col("gid").cast("string"),
+        F.lit(":"), F.col("sid").cast("string"),
+        F.lit(":"), F.col("rev").cast("string"),
+        F.lit("] "), F.col("msg"),
+        F.lit(" [**] [Classification: "), F.col("classtype"),
+        F.lit("] [Priority: "), F.col("pri").cast("string"),
+        F.lit("] [Program: "), F.col("tool"),
+        F.lit("] {"), proto_tag, F.lit("} "),
+        F.col("ip_src"), F.lit(":"), F.col("src_port").cast("string"),
+        F.lit(" -> "),
+        F.col("ip_dst"), F.lit(":"), F.col("dst_port").cast("string"))
+    return e.select("conv_id", "turn_idx", line.alias("fast_line"))
+
+
+def unified2_sink(correlated: DataFrame, ruleset=None) -> DataFrame:
+    """K5 — the unified2 alert record as a typed routed table (SURVEY
+    §2.1: skip the binary format, keep the field set of
+    src/output-plugins/unified2.c:140-175): sensor/epoch/µs, sig triple,
+    classification_id = 1-based position in classification.config load
+    order (unified2.c:151-159), priority, addresses, ports, IP protocol
+    number, blocked flag from the drop action."""
+    cls_ids = []
+    if ruleset:
+        cls_ids = [(name, i + 1)
+                   for i, name in enumerate(ruleset.classifications)]
+    id_map = (F.create_map(
+        *[F.lit(x) for pair in cls_ids for x in pair])
+        if cls_ids else None)
+    has_id_map = id_map is not None
+    e = emitted(correlated)
+    proto_num = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _PROTO_NUM.items() for x in kv])
+        [F.lower("proto")], F.lit(0))
+    return e.select(
+        "conv_id", "turn_idx",
+        F.lit(0).alias("sensor_id"),
+        F.col("epoch").alias("event_second"),
+        (F.unix_micros("ts") % 1_000_000).cast("int")
+        .alias("event_microsecond"),
+        F.lit(GID).cast("long").alias("generator_id"),
+        F.col("sid").alias("signature_id"),
+        F.col("rev").alias("signature_revision"),
+        (F.coalesce(id_map[F.col("classtype")], F.lit(0)) if has_id_map
+         else F.lit(0)).cast("int").alias("classification_id"),
+        F.col("pri").alias("priority_id"),
+        F.col("ip_src").alias("ip_source"),
+        F.col("ip_dst").alias("ip_destination"),
+        F.col("src_port").alias("sport_itype"),
+        F.col("dst_port").alias("dport_icode"),
+        proto_num.cast("int").alias("protocol"),
+        F.when(F.col("action") == "drop", 1).otherwise(0).cast("int")
+        .alias("blocked"))
+
+
+def track_client_transitions(parsed: DataFrame,
+                             timeout_sec: int) -> DataFrame:
+    """A9 — track-clients quiet/return alerting
+    (src/processors/track-clients.c:72-367): a source quiet for longer
+    than the timeout gets a DOWN record; its next message gets an UP
+    record.  Batch analog: consecutive-event gaps per conv_id via one
+    window (lag), plus a trailing DOWN when the source never returns
+    before the table's horizon (max epoch).
+
+    Scale: one shuffle keyed by conv_id (the window partition); the
+    horizon is a scalar broadcast from a single-row aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("epoch", "turn_idx")
+    gaps = (parsed
+            .withColumn("prev_epoch", F.lag("epoch").over(w))
+            .filter(F.col("prev_epoch").isNotNull() &
+                    (F.col("epoch") - F.col("prev_epoch") > timeout_sec))
+            .select("conv_id",
+                    F.col("prev_epoch").alias("down_epoch"),
+                    F.col("epoch").alias("up_epoch")))
+    horizon = parsed.agg(F.max("epoch").alias("horizon"))
+    tail = (parsed.groupBy("conv_id")
+            .agg(F.max("epoch").alias("last_seen"))
+            .crossJoin(F.broadcast(horizon))
+            .filter(F.col("horizon") - F.col("last_seen") > timeout_sec)
+            .select("conv_id", F.col("last_seen").alias("down_epoch"),
+                    F.lit(None).cast("long").alias("up_epoch")))
+    return gaps.unionByName(tail)
 
 
 def eve_log_sink(kept: DataFrame) -> DataFrame:
