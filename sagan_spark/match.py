@@ -36,15 +36,16 @@ import pandas as pd
 from .extract import DEFAULT_PORT, DEFAULT_PROTO
 from .rules.compiler import RuleSet
 from .rules.model import glob_to_regex
-from .semantics import (
-    PrimCache,
-    alert_time_pass,
-    extract_for_rule,
-    flow_pass,
-    track_key,
-    xbit_track_value,
+from .semantics import xbit_track_value
+from .vextract import (
+    BatchExtract,
+    alert_time_mask,
+    assemble_extract,
+    blacklist_mask,
+    flow_mask,
+    geoip_mask,
+    intel_mask,
 )
-from .extract import blacklist_hit, geoip_pass, intel_hit
 
 MATCH_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -353,16 +354,22 @@ def _vec_track_key(tracks, ip_src, src_port, ip_dst, dst_port, user,
             zip(srcs, sports, dsts, dports, users)]
 
 
-def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
-                programs: list[_RuleProgram],
-                default_port: int = DEFAULT_PORT,
-                default_proto: str = DEFAULT_PROTO) -> pd.DataFrame:
+def iter_match_frames(pdf: pd.DataFrame, ruleset: RuleSet,
+                      programs: list[_RuleProgram],
+                      default_port: int = DEFAULT_PORT,
+                      default_proto: str = DEFAULT_PROTO
+                      ) -> Iterator[pd.DataFrame]:
+    """Yield one (event x matched-rule) frame PER RULE.  Streaming
+    frames to the Arrow writer instead of concatenating one giant batch
+    avoids a full extra copy + pandas block consolidation of the output
+    (the dominant cost at high match density)."""
     n = len(pdf)
+    pdf = pdf.reset_index(drop=True)
     text = pdf["text"].astype("string").fillna("").astype(str)
     tool = pdf["tool"].astype("string").fillna("").astype(str)
     role = pdf["role"].astype("string").fillna("").astype(str)
     all_rows = np.arange(n)
-    prim: dict[int, PrimCache] = {}   # per-event parse-once cache
+    ctx: BatchExtract | None = None   # per-batch parse-once cache
 
     conv_np = pdf["conv_id"].to_numpy()
     turn_np = pdf["turn_idx"].to_numpy()
@@ -372,7 +379,6 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
     tool_np = tool.to_numpy()
     text_np = text.to_numpy()
 
-    frames: list[dict] = []
     masks = _MaskCache(text)
     for prog in programs:
         alive = prog.alive_after_gates(all_rows, tool, role)
@@ -385,47 +391,38 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
         pri = rule.priority or cls[1]
 
         if prog.complex:
-            # per-row path: extraction + flow/alert_time/blacklist gates
-            keep, ip_src, src_port, ip_dst, dst_port = [], [], [], [], []
-            proto, username, hsh = [], [], []
-            ts_col = pdf["ts"]
-            for i in alive.tolist():
-                pc = prim.get(i)
-                if pc is None:
-                    pc = prim[i] = PrimCache(text_np[i], tool_np[i])
-                ex = extract_for_rule(rule, conv_np[i], pc,
-                                      default_port, default_proto)
-                if not flow_pass(rule, ex):
-                    continue
-                if rule.alert_time is not None and not alert_time_pass(
-                        rule.alert_time, ts_col.iloc[i]):
-                    continue
-                if rule.blacklist and not (
-                        blacklist_hit(ex["ip_src"],
-                                      ruleset.blacklist_ranges) or
-                        blacklist_hit(ex["ip_dst"],
-                                      ruleset.blacklist_ranges)):
-                    continue
-                if rule.intel and not intel_hit(
-                        rule.intel, ex["ip_src"], ex["ip_dst"],
-                        text_np[i], ruleset.intel_sets):
-                    continue
-                if rule.geoip_track and not geoip_pass(
-                        rule, ex["ip_src"], ex["ip_dst"],
-                        ruleset.geoip_ranges):
-                    continue
-                keep.append(i)
-                ip_src.append(ex["ip_src"])
-                src_port.append(ex["src_port"])
-                ip_dst.append(ex["ip_dst"])
-                dst_port.append(ex["dst_port"])
-                proto.append(ex["proto"])
-                username.append(ex["username"])
-                hsh.append(ex["hash"])
-            if not keep:
+            # vectorized path: batch extraction + boolean gate masks
+            # (pandas/numpy C loops; the parse-once ctx is shared by all
+            # complex rules in the batch — SURVEY §2.3 X1's "one pass of
+            # a compiled IP+port regex per text batch")
+            if ctx is None:
+                ctx = BatchExtract(text, tool, default_port)
+            ex = assemble_extract(rule, ctx, alive, conv_np, tool_np,
+                                  default_port, default_proto)
+            mask = np.ones(alive.size, dtype=bool)
+            if not rule.head.all_any:
+                mask &= flow_mask(rule, ctx, ex)
+            if rule.alert_time is not None:
+                mask &= alert_time_mask(rule.alert_time,
+                                        pdf["ts"].iloc[alive])
+            if rule.blacklist:
+                mask &= blacklist_mask(ctx, ex, ruleset.blacklist_ranges)
+            if rule.intel:
+                mask &= intel_mask(rule, ctx, ex, alive,
+                                   ruleset.intel_sets)
+            if rule.geoip_track:
+                mask &= geoip_mask(rule, ctx, ex, ruleset.geoip_ranges)
+            if not mask.any():
                 continue
-            alive = np.asarray(keep, dtype=np.int64)
-            m = len(keep)
+            alive = alive[mask]
+            m = int(alive.size)
+            ip_src = ex["ip_src"][mask]
+            src_port = ex["src_port"][mask]
+            ip_dst = ex["ip_dst"][mask]
+            dst_port = ex["dst_port"][mask]
+            proto = ex["proto"][mask]
+            username = ex["username"][mask]
+            hsh = ex["hash"][mask]
         else:
             # fully vectorized: fallback addressing only (engine.c:967-1045)
             m = int(alive.size)
@@ -471,37 +468,44 @@ def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
                  for s, d in zip(ip_src, ip_dst)]
                 if rule.xbits else np.full(m, None, object)),
         }
-        frames.append(out)
+        frame = pd.DataFrame(out)
+        for c, dt in _DTYPES.items():
+            frame[c] = frame[c].astype(dt)
+        yield frame
 
+
+def _empty_match_frame() -> pd.DataFrame:
+    # dtype-correct empty frame: a bare [] column defaults to float64,
+    # which Arrow cannot cast to timestamp for the ts column
+    return pd.DataFrame({
+        c: pd.Series([], dtype="datetime64[ns]" if c == "ts"
+                     else _DTYPES.get(c, "object"))
+        for c in _OUT_COLS})
+
+
+def match_batch(pdf: pd.DataFrame, ruleset: RuleSet,
+                programs: list[_RuleProgram],
+                default_port: int = DEFAULT_PORT,
+                default_proto: str = DEFAULT_PROTO) -> pd.DataFrame:
+    """Single-frame form of iter_match_frames (tests / direct use)."""
+    frames = list(iter_match_frames(pdf, ruleset, programs,
+                                    default_port, default_proto))
     if not frames:
-        # dtype-correct empty frame: a bare [] column defaults to float64,
-        # which Arrow cannot cast to timestamp for the ts column
-        out = pd.DataFrame({
-            c: pd.Series([], dtype="datetime64[ns]" if c == "ts"
-                         else _DTYPES.get(c, "object"))
-            for c in _OUT_COLS})
-    else:
-        out = pd.DataFrame({
-            c: np.concatenate([np.asarray(f[c], dtype=object)
-                               if not isinstance(f[c], np.ndarray)
-                               or f[c].dtype == object
-                               else f[c] for f in frames])
-            for c in _OUT_COLS})
-    for c, dt in _DTYPES.items():
-        out[c] = out[c].astype(dt) if len(out) else pd.Series([], dtype=dt)
-    return out
+        return _empty_match_frame()
+    return pd.concat(frames, ignore_index=True)
 
 
 def build_matcher(ruleset: RuleSet, default_port: int = DEFAULT_PORT,
                   default_proto: str = DEFAULT_PROTO):
     """Returns a mapInPandas function.  The RuleSet travels in the task
-    closure (compiled regexes are rebuilt per executor, not pickled)."""
+    closure (compiled regexes are rebuilt per executor, not pickled);
+    per-rule frames stream straight to the Arrow writer."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         programs = compile_programs(ruleset)
         for pdf in batches:
-            yield match_batch(pdf, ruleset, programs,
-                              default_port, default_proto)
+            yield from iter_match_frames(pdf, ruleset, programs,
+                                         default_port, default_proto)
 
     return fn
 
