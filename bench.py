@@ -34,8 +34,11 @@ def main() -> int:
     headline = [
         "pipeline_alerts",       # flagship: full rule-engine pipeline
         "correlate_after",       # stateful window correlation
+        "correlate_flexbit",     # flexbit store fold
         "dedup_exact",
-        "ngram_jaccard",
+        "minhash_lsh",           # scale-safe near-dup path (banded LSH);
+                                 # the quadratic ngram_jaccard verifier is
+                                 # correctness-only, not a benchline
         "text_fingerprint",
         "token_count",
         "quality",

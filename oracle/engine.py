@@ -301,7 +301,8 @@ class OracleEngine:
             if not self._body_match(rule, ev):
                 continue
             if pc is None:
-                pc = PrimCache(ev.text, ev.tool)
+                pc = PrimCache(ev.text, ev.tool,
+                               self.rs.normalize_rulebase)
             ex = self._extract(rule, ev, pc)
             if not self._flow_pass(rule, ex):
                 continue

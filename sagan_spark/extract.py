@@ -212,12 +212,34 @@ _COMPILED_RULEBASE = tuple(re.compile(p, re.I)
                            for p in DEFAULT_NORMALIZE_RULEBASE)
 
 
+def load_normalize_rulebase(text: str) -> tuple[str, ...]:
+    """File-driven rulebase (the liblognorm ``.rulebase`` analog,
+    src/liblognormalize.c:64-104 loads rulebase paths from sagan.yaml):
+    one named-group regex per line, applied in order, first match per
+    field wins.  Empty/comment lines skipped; each pattern validated at
+    load."""
+    out = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        re.compile(ln, re.I)   # validate on the driver
+        out.append(ln)
+    return tuple(out)
+
+
+def compile_rulebase(rulebase: tuple[str, ...] | None):
+    """Patterns → compiled regexes (default rulebase when None/empty)."""
+    if not rulebase:
+        return _COMPILED_RULEBASE
+    return tuple(re.compile(p, re.I) for p in rulebase)
+
+
 def normalize_message(message: str, rulebase=None) -> dict[str, str]:
     """Apply the named-group rulebase; returns only captured fields.
     Precedence across extraction sources is handled by the caller
     (engine.c:842-846: normalize > parse_* > host fallback)."""
-    compiled = (_COMPILED_RULEBASE if rulebase is None else
-                tuple(re.compile(p, re.I) for p in rulebase))
+    compiled = compile_rulebase(rulebase)
     out: dict[str, str] = {}
     for rx in compiled:
         m = rx.search(message)

@@ -396,7 +396,8 @@ def iter_match_frames(pdf: pd.DataFrame, ruleset: RuleSet,
             # complex rules in the batch — SURVEY §2.3 X1's "one pass of
             # a compiled IP+port regex per text batch")
             if ctx is None:
-                ctx = BatchExtract(text, tool, default_port)
+                ctx = BatchExtract(text, tool, default_port,
+                                   ruleset.normalize_rulebase)
             ex = assemble_extract(rule, ctx, alive, conv_np, tool_np,
                                   default_port, default_proto)
             mask = np.ones(alive.size, dtype=bool)

@@ -233,6 +233,15 @@ def load_intel(text: str) -> dict[str, tuple[str, ...]]:
     return {k: tuple(sorted(v)) for k, v in sets.items() if v}
 
 
+def _load_rulebase(text: str) -> tuple[str, ...]:
+    """normalize.rulebase file → patterns (extract.load_normalize_rulebase;
+    empty file → () → the built-in default rulebase)."""
+    if not text.strip():
+        return ()
+    from ..extract import load_normalize_rulebase
+    return load_normalize_rulebase(text)
+
+
 def load_geoip(text: str) -> tuple[tuple[int, int, str], ...]:
     """GeoIP interval table: ``cidr,ISO3166-code`` per line — the
     broadcast analog of the Maxmind mmdb point lookup
@@ -711,6 +720,7 @@ class RuleSet:
     blacklist_ranges: tuple[tuple[int, int], ...] = ()
     intel_sets: dict[str, tuple[str, ...]] = field(default_factory=dict)
     geoip_ranges: tuple[tuple[int, int, str], ...] = ()
+    normalize_rulebase: tuple[str, ...] = ()   # () → built-in default
     variables: dict[str, str] = field(default_factory=dict)
 
     def by_sid(self, sid: int) -> CompiledRule:
@@ -725,6 +735,7 @@ def compile_ruleset(rules_text: str,
                     blacklist_text: str = "",
                     intel_text: str = "",
                     geoip_text: str = "",
+                    normalize_rulebase_text: str = "",
                     variables: dict[str, str] | None = None) -> RuleSet:
     variables = dict(variables or {})
     classifications = load_classifications(classification_text)
@@ -744,6 +755,7 @@ def compile_ruleset(rules_text: str,
         blacklist_ranges=tuple(load_blacklist(blacklist_text)),
         intel_sets=load_intel(intel_text),
         geoip_ranges=load_geoip(geoip_text),
+        normalize_rulebase=_load_rulebase(normalize_rulebase_text),
         variables=variables,
     )
 
@@ -772,4 +784,5 @@ def compile_ruleset_from_dir(path: str) -> RuleSet:
         blacklist_text=rd("blacklist.txt"),
         intel_text=rd("intel.dat"),
         geoip_text=rd("geoip.csv"),
+        normalize_rulebase_text=rd("normalize.rulebase"),
     )

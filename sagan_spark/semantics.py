@@ -30,11 +30,13 @@ class PrimCache:
     IP cache (engine.c:845-860, ip.c:28-30): each primitive runs at most
     once per event no matter how many rules request it."""
 
-    __slots__ = ("text", "tool", "_ip", "_proto", "_hash", "_norm")
+    __slots__ = ("text", "tool", "rulebase", "_ip", "_proto", "_hash",
+                 "_norm")
 
-    def __init__(self, text: str, tool: str):
+    def __init__(self, text: str, tool: str, rulebase=None):
         self.text = text
         self.tool = tool
+        self.rulebase = rulebase or None   # () → default rulebase
         self._ip = None
         self._proto = None
         self._hash: dict = {}
@@ -57,7 +59,7 @@ class PrimCache:
 
     def norm(self) -> dict:
         if self._norm is None:
-            self._norm = normalize_message(self.text)
+            self._norm = normalize_message(self.text, self.rulebase)
         return self._norm
 
 

@@ -38,8 +38,8 @@ from .extract import (
     DEFAULT_PROTO,
     DEFAULT_PROGRAM_PROTO_MAP,
     IpHit,
-    _COMPILED_RULEBASE,
     _SANITIZE,
+    compile_rulebase,
     parse_ip_cache,
 )
 from .rules.compiler import ip_to_int
@@ -77,11 +77,12 @@ class BatchExtract:
     """Per-batch lazy extraction context (one instance per Arrow batch)."""
 
     def __init__(self, text: pd.Series, tool: pd.Series,
-                 default_port: int = DEFAULT_PORT):
+                 default_port: int = DEFAULT_PORT, rulebase=None):
         # positional indexing throughout: row labels == positions
         self.text = text.reset_index(drop=True)
         self.tool = tool.reset_index(drop=True)
         self.default_port = default_port
+        self.rulebase = compile_rulebase(rulebase)
         self._san: pd.Series | None = None
         self._hits: dict[int, list] = {}      # exotic row → [IpHit...]
         self._hits_done: np.ndarray = np.zeros(len(text), dtype=bool)
@@ -217,7 +218,7 @@ class BatchExtract:
         todo = rows[~self._norm_done[rows]]
         if todo.size:
             sub = self.text.iloc[todo]
-            for rx in _COMPILED_RULEBASE:
+            for rx in self.rulebase:
                 got = sub.str.extract(rx)
                 for field in got.columns:
                     arr = self._norm.setdefault(

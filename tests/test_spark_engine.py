@@ -343,3 +343,26 @@ def test_alert_reference_and_gen_msg_columns(spark):
         "http://cve.mitre.org/cgi-bin/cvename.cgi?name=2024-0001,"
         "http://example.com/a")
     assert a["gen_msg"].iloc[0] == "sagan test generator"
+
+
+def test_file_driven_normalize_rulebase(spark):
+    """X5 full: a custom normalize.rulebase overrides the built-in
+    default (the liblognorm rulebase-path analog,
+    src/liblognormalize.c:64-104) in both engines."""
+    rb = (r"acct=(?P<username>\S+)" "\n"
+          r"origin=(?P<src_ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+          r":(?P<src_port>\d{1,5})" "\n")
+    rules = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"session"; '
+        'normalize; sid:1;)', normalize_rulebase_text=rb)
+    assert rules.normalize_rulebase  # file-driven, not the default
+    rows = _rows_from({
+        "c1": [(0, "session acct=root origin=10.1.2.3:999", 0),
+               (1, "session from 10.9.9.9", 5)],  # default rb would hit
+    })
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    a = (res.alerts.toPandas().sort_values("turn_idx")
+         .reset_index(drop=True))
+    assert a["ip_src"].tolist() == ["10.1.2.3", "c1"]
+    assert a["src_port"].tolist() == [999, 514]
