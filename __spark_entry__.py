@@ -547,6 +547,29 @@ def _q_track_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_client_transitions(parsed, _TRACK_TIMEOUT)
 
 
+def _q_eve_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: event_type:"log" record per processed (non-ignored) turn
+    (json-handler.c:258-322, engine.c:1662-1668)."""
+    from sagan_spark.parse import parse_transcripts, split_ignored
+    from sagan_spark.route import eve_log_sink
+    rs = _ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    kept, _ = split_ignored(parsed, rs.ignore_list)
+    return eve_log_sink(kept).select(
+        "conv_id", "turn_idx", "event_type", "text")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dups: 16-bit pigeonhole blocks → equi-join →
+    exact hamming verify (any pair within distance 3 shares a block)."""
+    from sagan_spark.functions.dedup import simhash_near_dups
+    docs = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) < 400)
+    return (simhash_near_dups(docs, max_hamming=3)
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded equi-join + exact verify) —
     equals the all-pairs result at the threshold; the scale-safe dedup
@@ -973,10 +996,10 @@ SELECT doc_id, {mins} FROM h GROUP BY doc_id
 _ORACLES["minhash_sig"] = _minhash_oracle()
 
 
-def _simhash_oracle() -> str:
-    """Exact SimHash64 reconstruction: the bit-vote basis is two
-    md5-derived 32-bit halves (dedup.simhash), so DuckDB reproduces the
-    identical signature bit-for-bit."""
+def _simhash_sql(source_sql: str) -> str:
+    """Exact SimHash64 reconstruction over a (doc_id, text) source: the
+    bit-vote basis is two md5-derived 32-bit halves (dedup.simhash), so
+    DuckDB reproduces the identical signature bit-for-bit."""
     sums = ",\n       ".join(
         f"SUM(CASE WHEN (h{1 if b < 32 else 2} >> {b % 32}) & 1 = 1 "
         f"THEN w ELSE -w END) AS v{b}"
@@ -987,9 +1010,10 @@ def _simhash_oracle() -> str:
     top = ("(CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
            "ELSE 0 END)")
     return rf"""
-WITH d AS (SELECT doc_id,
-                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
-           FROM documents),
+WITH src AS ({source_sql}),
+d AS (SELECT doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM src),
 tk AS (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM d),
 tw AS (SELECT doc_id, tok, COUNT(*) AS w FROM tk WHERE len(tok) > 0
        GROUP BY 1, 2),
@@ -997,12 +1021,46 @@ h AS (SELECT doc_id, w,
         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h1,
         CAST(CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) AS BIGINT) AS h2
       FROM tw),
-v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, {terms} + {top} AS simhash FROM v
+v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {terms} + {top} AS simhash FROM v)
 """
 
 
-_ORACLES["simhash64"] = _simhash_oracle()
+_ORACLES["simhash64"] = (
+    _simhash_sql("SELECT doc_id, text FROM documents") +
+    "SELECT doc_id, simhash FROM sig")
+
+_SIMHASH_PAIR_SRC = """SELECT doc_id, text FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+WHERE doc_id % 1000000 < 400"""
+
+_ORACLES["simhash_pairs"] = _simhash_sql(_SIMHASH_PAIR_SRC) + """
+, blocks AS (
+  SELECT doc_id, simhash, 0 AS blk, simhash & 65535 AS val FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 32) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3, (simhash >> 48) & 65535 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+_ORACLES["eve_log"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t)
+SELECT conv_id, turn_idx, 'log' AS event_type, text
+FROM p WHERE text NOT LIKE '%{_IGNORE}%'
+"""
 
 _ORACLES["media_features"] = f"""
 WITH m AS (SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
@@ -1428,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified2_table": _q_unified2_table,
         "track_transitions": _q_track_transitions,
         "minhash_lsh": _q_minhash_lsh,
+        "eve_log": _q_eve_log,
+        "simhash_pairs": _q_simhash_pairs,
     }
 
 
