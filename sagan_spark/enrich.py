@@ -57,6 +57,9 @@ def attach_references(alerts: DataFrame, spark: SparkSession,
     the broadcast side only (tiny).  URLs are sorted and comma-joined
     into one string column, the ``[Xref => url]`` suffix block the
     reference appends to every alert (src/references.c:141-209)."""
+    if not any(r.references for r in ruleset.rules):
+        # no rule carries references — don't pay a dead BroadcastExchange
+        return alerts.withColumn("ref_urls", F.lit(""))
     refs = (reference_df(spark, ruleset)
             .groupBy("sid")
             .agg(F.concat_ws(
@@ -71,6 +74,8 @@ def attach_gen_msg(alerts: DataFrame, spark: SparkSession,
     """(gid, sid) → generator message (J3) — Generator_Lookup
     (src/gen-msg.c:132-148) as a broadcast join on the alert's
     (gid, sid) pair."""
+    if not ruleset.gen_msg:
+        return alerts.withColumn("gen_msg", F.lit(""))
     gm = gen_msg_df(spark, ruleset).withColumnRenamed("aid", "sid")
     return (alerts.join(F.broadcast(gm), ["gid", "sid"], "left")
             .withColumn("gen_msg", F.coalesce("gen_msg", F.lit(""))))
