@@ -547,6 +547,26 @@ def _q_track_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_client_transitions(parsed, _TRACK_TIMEOUT)
 
 
+def _q_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 dynamic rule loading, batch-reinterpreted: sampled detection
+    (1-in-5 md5 sample) → one detection alert for the first trigger →
+    the hot-loaded ruleset's matches over the batch
+    (dynamic-rules.c:58-182)."""
+    from sagan_spark.dynamic import run_pipeline_dynamic
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    root = os.path.join(REPO, "rules-entry", "dynamic")
+    rs = compile_ruleset_from_dir(root)
+    res, det, _names = run_pipeline_dynamic(
+        spark, _transcripts(spark, sf_dir), rs, rules_root=root,
+        sample_rate=5)
+    detect = det.select("conv_id", "turn_idx", "sid",
+                        F.lit("detect").alias("kind"))
+    loaded = (res.alerts.filter(F.col("sid") == 6300002)
+              .select("conv_id", "turn_idx", "sid",
+                      F.lit("loaded").alias("kind")))
+    return detect.unionByName(loaded)
+
+
 def _q_eve_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4: event_type:"log" record per processed (non-ignored) turn
     (json-handler.c:258-322, engine.c:1662-1668)."""
@@ -1055,6 +1075,26 @@ SELECT doc_a, doc_b,
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
+_ORACLES["dynamic_rules"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text, epoch FROM t),
+samp AS (SELECT * FROM p
+         WHERE CAST(CAST('0x' || substr(md5(conv_id || '|' ||
+               CAST(turn_idx AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+               % 5 = 0),
+trig AS (SELECT conv_id, turn_idx, epoch FROM samp
+         WHERE text LIKE '%stage1 marker%'),
+first_trig AS (SELECT conv_id, turn_idx FROM trig
+               ORDER BY epoch, conv_id, turn_idx LIMIT 1)
+SELECT conv_id, turn_idx, CAST(6300001 AS BIGINT) AS sid,
+       'detect' AS kind
+FROM first_trig
+UNION ALL
+SELECT conv_id, turn_idx, CAST(6300002 AS BIGINT), 'loaded'
+FROM p WHERE text LIKE '%stage2 marker%'
+        AND EXISTS (SELECT 1 FROM trig)
+"""
+
 _ORACLES["eve_log"] = f"""
 WITH t AS ({T_DUCK}),
 p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t)
@@ -1488,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "eve_log": _q_eve_log,
         "simhash_pairs": _q_simhash_pairs,
+        "dynamic_rules": _q_dynamic_rules,
     }
 
 

@@ -653,6 +653,8 @@ def parse_rule(text: str, variables: dict[str, str] | None = None,
             fields["geoip_track"] = track
             fields["geoip_is"] = is_mode
             fields["geoip_codes"] = codes
+        elif key == "dynamic_load":
+            fields["dynamic_load"] = _unquote(val)
         elif key == "alert_time":
             fields["alert_time"] = _parse_alert_time(val)
         elif key == "blacklist":

@@ -321,6 +321,11 @@ class CompiledRule:
     geoip_is: bool = True          # is vs isnot (geoip2_type, engine.c:1188)
     geoip_codes: tuple[str, ...] = ()   # ISO3166 codes
 
+    # dynamic rule loading (src/processors/dynamic-rules.c:58-182):
+    # evaluated only on sampled lines; on first match the named ruleset
+    # is loaded and ONE alert fires (already-loaded → silent)
+    dynamic_load: str = ""
+
     # sink flags
     noalert: bool = False          # flexbit/xbit noalert analog
     noeve: bool = False

@@ -366,3 +366,36 @@ def test_file_driven_normalize_rulebase(spark):
          .reset_index(drop=True))
     assert a["ip_src"].tolist() == ["10.1.2.3", "c1"]
     assert a["src_port"].tolist() == [999, 514]
+
+
+def test_dynamic_rule_loading(spark):
+    """§3.3 batch analog: detection on sampled rows loads the named
+    ruleset once, alerts once for the first trigger, and the loaded
+    rules apply to the batch; no trigger → nothing loaded."""
+    import os
+
+    from sagan_spark.dynamic import run_pipeline_dynamic
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    root = os.path.join(os.path.dirname(__file__), "..", "rules-entry",
+                        "dynamic")
+    rs = compile_ruleset_from_dir(root)
+    rows = _rows_from({
+        f"c{k}": [(0, "stage1 marker boot", k), (1, "stage2 marker go",
+                                                 10 + k)]
+        for k in range(10)})   # 10 convs → some sampled at rate 2
+    res, det, names = run_pipeline_dynamic(
+        spark, spark_df_from_rows(spark, rows), rs, rules_root=root,
+        sample_rate=2)
+    assert names == ["loaded"]
+    d = det.toPandas()
+    assert len(d) == 1 and d["sid"].iloc[0] == 6300001  # one alert per load
+    loaded = res.alerts.filter("sid = 6300002").count()
+    assert loaded == 10                                 # whole-batch apply
+
+    # no trigger → no load, no detection alert
+    rows2 = _rows_from({"c1": [(0, "stage2 marker only", 0)]})
+    res2, det2, names2 = run_pipeline_dynamic(
+        spark, spark_df_from_rows(spark, rows2), rs, rules_root=root,
+        sample_rate=2)
+    assert names2 == [] and det2.count() == 0
+    assert res2.alerts.count() == 0
