@@ -754,6 +754,30 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.element_at("features", 1), 6).alias("f0")))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-lite ANN: deterministic seed centroids → cell assignment →
+    nprobe probing → exact rerank (the 100 TB path where a brute scan is
+    too wide)."""
+    from sagan_spark.functions.similarity import ivf_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5)
+    return (ivf_topk(emb, q, k=5)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out: one row per sampled video
+    frame (mapInPandas 1→N expansion, no shuffle)."""
+    from sagan_spark.functions.multimodal import sample_frames
+    return (sample_frames(_media_df(spark, sf_dir), every_ms=500)
+            .select("media_id", "frame_ms",
+                    F.col("frame_feature").cast("double")
+                    .alias("frame_feature")))
+
+
 def _q_eve_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.pipeline import run_pipeline, to_eve_json
     res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
@@ -1073,6 +1097,61 @@ cand AS (
 SELECT doc_a, doc_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+_ORACLES["ann_ivf"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cell, emb AS c_emb
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+asn0 AS (SELECT v.vec_id AS neighbor_id, v.emb AS v_emb, s.cell,
+       ROUND(list_dot_product(v.emb, s.c_emb) /
+             (SQRT(list_dot_product(v.emb, v.emb)) *
+              SQRT(list_dot_product(s.c_emb, s.c_emb))), 6) AS cosine
+  FROM v CROSS JOIN seeds s),
+assigned AS (SELECT neighbor_id, v_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id
+        ORDER BY cosine DESC, cell) AS rn FROM asn0) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 5),
+pr0 AS (SELECT q.query_id, q.q_emb, s.cell,
+       ROUND(list_dot_product(q.q_emb, s.c_emb) /
+             (SQRT(list_dot_product(q.q_emb, q.q_emb)) *
+              SQRT(list_dot_product(s.c_emb, s.c_emb))), 6) AS cosine
+  FROM q CROSS JOIN seeds s),
+probes AS (SELECT query_id, q_emb, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, cell) AS rn FROM pr0) WHERE rn <= 4),
+cand AS (SELECT p.query_id, p.q_emb, a.neighbor_id, a.v_emb
+         FROM assigned a JOIN probes p ON a.cell = p.cell
+         WHERE a.neighbor_id <> p.query_id),
+scored AS (SELECT query_id, neighbor_id,
+       ROUND(list_dot_product(q_emb, v_emb) /
+             (SQRT(list_dot_product(q_emb, q_emb)) *
+              SQRT(list_dot_product(v_emb, v_emb))), 6) AS cosine
+  FROM cand),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+        AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+_ORACLES["media_frames"] = f"""
+WITH m AS (SELECT doc_id AS media_id,
+                  CAST(1000 + doc_id * 10 AS INT) AS duration_ms,
+                  CAST(text AS BLOB) AS b
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id,
+             COALESCE(ROUND(list_avg(list_transform(
+                 generate_series(1, octet_length(b)),
+                 i -> CAST(('0x' || substr(hex(b), 2*i-1, 2)) AS INT)))
+                 / 255.0, 6), 0.0) AS f0,
+             duration_ms
+      FROM m)
+SELECT media_id, CAST(t AS INT) AS frame_ms,
+       ROUND(f0 + t / 1000000.0, 6) AS frame_feature
+FROM f, UNNEST(generate_series(0, duration_ms - 1, 500)) AS g(t)
 """
 
 _ORACLES["dynamic_rules"] = f"""
@@ -1529,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eve_log": _q_eve_log,
         "simhash_pairs": _q_simhash_pairs,
         "dynamic_rules": _q_dynamic_rules,
+        "media_frames": _q_media_frames,
+        "ann_ivf": _q_ann_ivf,
     }
 
 

@@ -107,11 +107,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       n: int = 3) -> DataFrame:
+                       n: int = 3, shingles: DataFrame | None = None
+                       ) -> DataFrame:
     """(doc_id, sig: array<long>[MINHASH_PERMS]) — min over shingles of
     (a*h + b) mod p per permutation.  Pure column algebra: the per-perm
-    min is a single groupBy aggregation over exploded shingles."""
-    sh = word_shingles(df, text_col, n).withColumn(
+    min is a single groupBy aggregation over exploded shingles.  Pass a
+    pre-computed ``shingles`` frame to share the tokenize/explode work
+    with other stages (minhash_lsh_pairs does)."""
+    sh = (shingles if shingles is not None
+          else word_shingles(df, text_col, n)).withColumn(
         "h", shingle_hash(F.col("shingle")))
     aggs = [F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % _P
                   ).alias(f"m{i}") for i in range(MINHASH_PERMS)]
@@ -121,11 +125,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      persist_shingles: bool = True) -> DataFrame:
     """MinHash LSH candidates (band buckets → equi-join) verified by exact
     Jaccard.  Exact-equal to the all-pairs result at the threshold, with
-    LSH pruning doing the scale work."""
-    sigs = minhash_signatures(df, text_col, n)
+    LSH pruning doing the scale work.
+
+    ``persist_shingles`` caches the exploded shingle frame (read 3×:
+    signatures, verify-a, verify-b).  At extreme corpus sizes where the
+    exploded shingles (~10× the text bytes) would thrash the disk cache,
+    pass False to trade two extra tokenizer scans for zero spill."""
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, text_col, n)
+    if persist_shingles:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, text_col, n, shingles=sh)
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -144,7 +159,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                 F.col("y.doc_id").alias("doc_b"))
         .distinct())
     # exact verify: compute true Jaccard only for candidates
-    sh = word_shingles(df, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

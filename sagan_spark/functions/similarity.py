@@ -115,13 +115,14 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, nprobe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF-lite: centroids = the first n_cells vectors by id (deterministic
-    seeds) refined by one mean step; vectors assigned to nearest centroid;
-    queries probe the nprobe nearest cells and rerank exactly within them.
-    Approximate by design — the 100 TB path where brute force is too wide.
-    """
+    """IVF-lite: centroids = the first n_cells vectors by id
+    (deterministic seeds, cell = rank in id order); vectors assigned to
+    the nearest centroid; queries probe the nprobe nearest cells and
+    rerank exactly within them.  Approximate by design — the 100 TB path
+    where brute force is too wide."""
+    seed_w = Window.orderBy(id_col)
     seeds = (vectors.orderBy(id_col).limit(n_cells)
-             .select(F.monotonically_increasing_id().alias("cell"),
+             .select((F.row_number().over(seed_w) - 1).alias("cell"),
                      F.col(vec_col).alias("c_emb")))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("v_emb"))
