@@ -754,6 +754,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.element_at("features", 1), 6).alias("f0")))
 
 
+def _q_perfmon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: perfmon periodic counters — received / gated matches /
+    emitted alerts per 6h epoch bucket (perfmon.c:132-193 analog)."""
+    from sagan_spark.pipeline import run_pipeline
+    from sagan_spark.parse import parse_transcripts
+    from sagan_spark.route import perfmon_report
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    return perfmon_report(parsed, res.correlated, interval_sec=21600)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-lite ANN: deterministic seed centroids → cell assignment →
     nprobe probing → exact rerank (the 100 TB path where a brute scan is
@@ -1097,6 +1108,21 @@ cand AS (
 SELECT doc_a, doc_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+_ORACLES["perfmon"] = _PIPE_PRELUDE + """
+, rb AS (SELECT CAST(FLOOR(epoch / 21600) * 21600 AS BIGINT) AS bucket,
+                COUNT(*) AS events_received
+         FROM p GROUP BY 1),
+fb AS (SELECT CAST(FLOOR(epoch / 21600) * 21600 AS BIGINT) AS bucket,
+              COUNT(*) FILTER (WHERE xpass) AS saganfound,
+              COUNT(*) FILTER (WHERE xpass AND NOT sup_after
+                               AND NOT sup_thresh) AS alert_total
+       FROM emitted GROUP BY 1)
+SELECT rb.bucket, rb.events_received,
+       COALESCE(fb.saganfound, 0) AS saganfound,
+       COALESCE(fb.alert_total, 0) AS alert_total
+FROM rb LEFT JOIN fb ON rb.bucket = fb.bucket
 """
 
 _ORACLES["ann_ivf"] = """
@@ -1610,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_rules": _q_dynamic_rules,
         "media_frames": _q_media_frames,
         "ann_ivf": _q_ann_ivf,
+        "perfmon": _q_perfmon,
     }
 
 

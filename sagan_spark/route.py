@@ -201,6 +201,29 @@ def track_client_transitions(parsed: DataFrame,
     return gaps.unionByName(tail)
 
 
+def perfmon_report(parsed: DataFrame, correlated: DataFrame,
+                   interval_sec: int = 3600) -> DataFrame:
+    """A8 — the perfmonitor periodic-counter CSV
+    (src/processors/perfmon.c:132-193) as per-interval delta rows:
+    events received / gated matches (saganfound) / emitted alerts per
+    epoch bucket.  Two map-side aggregations + one tiny outer join on
+    the bucket key."""
+    bucket = (F.floor(F.col("epoch") / interval_sec) * interval_sec) \
+        .alias("bucket")
+    recv = parsed.groupBy(bucket).agg(
+        F.count("*").alias("events_received"))
+    gated = correlated.filter(F.col("xbit_pass") & F.col("flexbit_pass"))
+    found = gated.groupBy(bucket).agg(F.count("*").alias("saganfound"))
+    alerts = (emitted(correlated).groupBy(bucket)
+              .agg(F.count("*").alias("alert_total")))
+    return (recv.join(found, "bucket", "left")
+            .join(alerts, "bucket", "left")
+            .select("bucket", "events_received",
+                    F.coalesce("saganfound", F.lit(0)).alias("saganfound"),
+                    F.coalesce("alert_total", F.lit(0))
+                    .alias("alert_total")))
+
+
 def eve_log_sink(kept: DataFrame) -> DataFrame:
     """event_type:"log" record per processed turn (json-handler.c:258-322)."""
     return kept.select(

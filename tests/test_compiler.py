@@ -147,3 +147,92 @@ def test_cidr_and_ip_int_v4_mapped():
     lo, hi = cidr_to_range("10.0.0.0/8")
     assert lo <= ip_to_int("10.255.0.1") <= hi
     assert not (lo <= ip_to_int("11.0.0.1") <= hi)
+
+
+def test_flexbit_option_parsing():
+    from sagan_spark.rules.compiler import compile_ruleset
+    rs = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"x"; '
+        'flexbits: set,fb,300; '
+        'flexbits: isset,reverse_p,fb; '
+        'flexbits: count,by_dst,lt 9; sid:1;)')
+    fbs = rs.rules[0].flexbits
+    assert (fbs[0].action, fbs[0].name, fbs[0].timeout) == ("set", "fb", 300)
+    assert (fbs[1].action, fbs[1].direction) == ("isset", "reverse_p")
+    assert (fbs[2].action, fbs[2].direction, fbs[2].count_op,
+            fbs[2].count_n) == ("count", "by_dst", "lt", 9)
+
+
+def test_flexbit_bad_inputs_rejected():
+    import pytest
+
+    from sagan_spark.rules.compiler import RuleParseError, compile_ruleset
+    for bad in ("flexbits: isset,sideways,fb",
+                "flexbits: count,both,gt 1",       # count is by_src|by_dst
+                "flexbits: count,by_src,ge 1",
+                "flexbits: bogus,fb,1"):
+        with pytest.raises(RuleParseError):
+            compile_ruleset(
+                f'alert syslog any any -> any any (msg:"m"; content:"x"; '
+                f'{bad}; sid:1;)')
+
+
+def test_zeek_intel_and_country_code_parsing():
+    from sagan_spark.rules.compiler import compile_ruleset
+    rs = compile_ruleset(
+        'alert syslog any any -> any any (msg:"m"; content:"x"; '
+        'zeek-intel: both_ipaddr, domain, url; '
+        'country_code: track by_dst, is [CN,RU, hk]; sid:1;)')
+    r = rs.rules[0]
+    assert r.intel == ("both_ipaddr", "domain", "url")
+    assert (r.geoip_track, r.geoip_is, r.geoip_codes) == \
+        ("by_dst", True, ("CN", "RU", "HK"))
+
+
+def test_intel_and_geoip_loaders():
+    from sagan_spark.rules.compiler import load_geoip, load_intel
+    sets = load_intel("1.2.3.4\tIntel::ADDR\tf\n"
+                      "EvIl.example\tIntel::DOMAIN\tf\n"
+                      "a@b.example\tIntel::EMAIL\tf\n")
+    assert sets["addr"] == ("1.2.3.4",)
+    assert sets["domain"] == ("evil.example",)   # lowered for stristr
+    assert sets["email"] == ("a@b.example",)
+    geo = load_geoip("10.0.0.0/8,us\n# comment\n1.1.1.1,AU\n")
+    assert [g[2] for g in geo] == ["AU", "US"]   # sorted by range
+
+
+def test_flexbit_direction_ladder_matches_reference():
+    """flexbit_entry_matches vs the memcmp ladder of
+    Flexbit_Condition_MMAP (flexbit-mmap.c:104-320) — hand-derived
+    truth table.  Entry: A:10 -> B:20; the shared helper is used by BOTH
+    engines, so only a direct unit test can falsify it."""
+    from sagan_spark.rules.model import flexbit_entry_matches as m
+    e = ("A", "B", 10, 20)  # stored src, dst, sport, dport
+
+    def chk(direction, cur, want):
+        assert m(direction, *e, *cur) is want, (direction, cur)
+
+    chk("none", ("X", "Y", 1, 2), True)
+    chk("both", ("A", "B", 1, 2), True)
+    chk("both", ("A", "C", 1, 2), False)
+    chk("by_src", ("A", "Z", 1, 2), True)
+    chk("by_src", ("B", "A", 1, 2), False)
+    chk("by_dst", ("Z", "B", 1, 2), True)
+    chk("reverse", ("B", "A", 1, 2), True)      # mmap.c:168-180
+    chk("reverse", ("A", "B", 1, 2), False)
+    chk("src_xbitdst", ("B", "Z", 1, 2), True)  # e.dst == c.src
+    chk("src_xbitdst", ("A", "Z", 1, 2), False)
+    chk("dst_xbitsrc", ("Z", "A", 1, 2), True)  # e.src == c.dst
+    chk("dst_xbitsrc", ("Z", "B", 1, 2), False)
+    chk("both_p", ("A", "B", 10, 20), True)
+    chk("both_p", ("A", "B", 10, 21), False)
+    chk("by_src_p", ("A", "Z", 10, 99), True)   # sport must match
+    chk("by_src_p", ("A", "Z", 11, 20), False)
+    chk("by_dst_p", ("Z", "B", 99, 20), True)   # dport must match
+    chk("by_dst_p", ("Z", "B", 99, 21), False)
+    chk("reverse_p", ("B", "A", 20, 10), True)  # ports swapped
+    chk("reverse_p", ("B", "A", 10, 20), False)
+    chk("src_xbitdst_p", ("B", "Z", 20, 99), True)   # e.dport == c.sport
+    chk("src_xbitdst_p", ("B", "Z", 21, 99), False)
+    chk("dst_xbitsrc_p", ("Z", "A", 99, 10), True)   # e.sport == c.dport
+    chk("dst_xbitsrc_p", ("Z", "A", 99, 11), False)
