@@ -299,14 +299,29 @@ def _correlated_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_correlate(_matches_df(spark, sf_dir), _ruleset())
 
 
+# seven queries consume the same full-pipeline result; memoize it per
+# (session, sf_dir) so the driver's gate pays the match/correlate stages
+# once (the persisted frames inside PipelineResult make re-reads cheap)
+_PIPE_CACHE: dict = {}
+
+
+def _pipeline_res(spark: SparkSession, sf_dir: str):
+    from sagan_spark.pipeline import run_pipeline
+    key = (id(spark), sf_dir)
+    res = _PIPE_CACHE.get(key)
+    if res is None:
+        res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+        _PIPE_CACHE[key] = res
+    return res
+
+
 # ---------------------------------------------------------------------------
 # queries — Sagan pipeline over derived transcripts
 # ---------------------------------------------------------------------------
 
 def _q_pipeline_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full parse→match→enrich→correlate→route, alert sink."""
-    from sagan_spark.pipeline import run_pipeline
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return res.alerts.select(
         "conv_id", "turn_idx",
         F.unix_timestamp("ts").cast("long").alias("epoch"),
@@ -318,8 +333,7 @@ def _q_pipeline_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sagan_spark.pipeline import run_pipeline
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return res.counters
 
 
@@ -512,26 +526,23 @@ def _q_embedded_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_enrich_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3 wired into the alert sink: sorted Xref URL block
     (references.c:141-209) + generator message (gen-msg.c:132-148)."""
-    from sagan_spark.pipeline import run_pipeline
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return (res.alerts.filter(F.col("sid").isin(6000001, 6000004))
             .select("conv_id", "turn_idx", "sid", "ref_urls", "gen_msg"))
 
 
 def _q_fast_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2: one-line Snort fast format (fast.c:46-80)."""
-    from sagan_spark.pipeline import run_pipeline
     from sagan_spark.route import fast_sink
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return fast_sink(res.correlated, _ruleset())
 
 
 def _q_unified2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5: unified2 record fields as a typed routed table
     (unified2.c:140-175)."""
-    from sagan_spark.pipeline import run_pipeline
     from sagan_spark.route import unified2_sink
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return unified2_sink(res.correlated, _ruleset())
 
 
@@ -757,11 +768,10 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_perfmon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: perfmon periodic counters — received / gated matches /
     emitted alerts per 6h epoch bucket (perfmon.c:132-193 analog)."""
-    from sagan_spark.pipeline import run_pipeline
     from sagan_spark.parse import parse_transcripts
     from sagan_spark.route import perfmon_report
     parsed = parse_transcripts(_transcripts(spark, sf_dir))
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    res = _pipeline_res(spark, sf_dir)
     return perfmon_report(parsed, res.correlated, interval_sec=21600)
 
 
@@ -790,8 +800,8 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_eve_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sagan_spark.pipeline import run_pipeline, to_eve_json
-    res = run_pipeline(spark, _transcripts(spark, sf_dir), _ruleset())
+    from sagan_spark.pipeline import to_eve_json
+    res = _pipeline_res(spark, sf_dir)
     return to_eve_json(res.eve_alerts)
 
 

@@ -399,3 +399,29 @@ def test_dynamic_rule_loading(spark):
         sample_rate=2)
     assert names2 == [] and det2.count() == 0
     assert res2.alerts.count() == 0
+
+
+def test_write_sink_bucketed_layout(spark, tmp_path):
+    """sinks.write_sink parquet fallback: rows cluster by
+    bucket(conv_id) into n_buckets files — the Iceberg bucket-transform
+    analog (one shuffle, not tasks x buckets small files)."""
+    import glob
+
+    from sagan_spark.sinks import write_sink
+    rows = _rows_from({f"c{k}": [(0, "x", k)] for k in range(50)})
+    df = spark_df_from_rows(spark, rows)
+    out = str(tmp_path / "sinkout")
+    write_sink(df, out, n_buckets=4)
+    files = glob.glob(out + "/part-*.parquet")
+    assert 0 < len(files) <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert "bucket" in back.columns
+    # each non-empty file holds whole buckets (clustering, not scatter):
+    # no bucket value appears in more than one file
+    import pandas as pd
+    seen: dict[int, str] = {}
+    for f in files:
+        for b in pd.read_parquet(f)["bucket"].unique():
+            assert seen.setdefault(int(b), f) == f
+    assert len(seen) <= 4
