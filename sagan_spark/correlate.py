@@ -91,7 +91,11 @@ def conv_keyed_only(ruleset: RuleSet) -> bool:
             return False
         if r.threshold and not _track_conv_derived(r.threshold.tracks):
             return False
-        if any(fb.direction == "none" for fb in r.flexbits):
+        # 'none' is globally-shared state — but only for the clauses that
+        # actually compare directions (isset/isnotset/unset); a 'set'
+        # clause ignores its direction field entirely
+        if any(fb.direction == "none" for fb in r.flexbits
+               if fb.action in ("isset", "isnotset", "unset")):
             return False
     return True
 

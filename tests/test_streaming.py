@@ -21,7 +21,7 @@ from sagan_spark.rules.compiler import compile_ruleset_from_dir
 from sagan_spark.streaming import read_transcript_stream, streaming_alerts
 
 EMIT_COLS = ["conv_id", "turn_idx", "sid", "suppress_after",
-             "suppress_thresh", "xbit_pass"]
+             "suppress_thresh", "xbit_pass", "flexbit_pass"]
 
 
 @pytest.fixture(scope="module")
@@ -122,3 +122,20 @@ def test_default_state_timeout(ruleset):
         for xb in r.xbits:
             horizon = max(horizon, xb.expire)
     assert default_state_timeout_ms(ruleset) == 2 * horizon * 1000
+
+
+def test_stream_flexbits_equal_batch(spark, tmp_path):
+    """Flexbit store state survives the GroupState JSON round-trip
+    across micro-batches and reproduces the batch fold exactly."""
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    rs = compile_ruleset_from_dir(
+        os.path.join(os.path.dirname(__file__), "..", "rules-entry",
+                     "flexbit"))
+    rows = gen_rows(12)
+    in_dir = str(tmp_path / "stream_flex")
+    _write_chunks(spark, rows, in_dir, n_chunks=3)
+    batch = _batch_result(spark, rows, rs)
+    stream = _stream_result(spark, in_dir, rs, max_files=1)
+    assert (batch["flexbit_pass"] == False).any() or len(batch) == 0 \
+        or True  # ensure column exists; equality below is the real check
+    pd.testing.assert_frame_equal(batch, stream)
