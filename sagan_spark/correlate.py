@@ -100,6 +100,50 @@ def conv_keyed_only(ruleset: RuleSet) -> bool:
     return True
 
 
+def state_groups(ruleset: RuleSet) -> dict[int, int]:
+    """rule_idx → state-interaction group id.
+
+    The hot-conversation salt (north rule: "salted repartition for hot
+    conversations"), exact by construction: after/threshold state is
+    keyed by sid (after.c:113-117, threshold.c:118-121) and xbit/flexbit
+    state by name (xbit-mmap.c:88-91, flexbit-mmap.c name match), so two
+    rules can only interact when they share an xbit/flexbit NAME.
+    Union-find over shared names partitions the ruleset into independent
+    groups; repartitioning by (conv_id, group) splits a hot
+    conversation's rows across #groups partitions with bit-identical
+    results — no cross-partition state can exist."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    # a flexbit `count` clause scans entries of EVERY name
+    # (flexbit-mmap.c:683-744), so its presence couples all flexbit rules
+    has_count = any(fb.action == "count"
+                    for r in ruleset.rules for fb in r.flexbits)
+    for i, r in enumerate(ruleset.rules):
+        node = ("r", i)
+        find(node)
+        for xb in r.xbits:
+            union(node, ("x", xb.name))
+        for fb in r.flexbits:
+            union(node, ("f", fb.name))
+        if has_count and r.flexbits:
+            union(node, ("f", "__all__"))
+    roots: dict = {}
+    out: dict[int, int] = {}
+    for i in range(len(ruleset.rules)):
+        root = find(("r", i))
+        out[i] = roots.setdefault(root, len(roots))
+    return out
+
+
 def validate_ruleset_for_spark(ruleset: RuleSet) -> None:
     """Plan-time restrictions that apply ONLY outside the conv-keyed fast
     path (where the unified fold handles every combination exactly)."""
@@ -418,9 +462,23 @@ def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
         return df
 
     if conv_keyed_only(ruleset):
-        rep = (df.repartition(F.col("conv_id"))
-                 .sortWithinPartitions("conv_id", "epoch", "turn_idx",
-                                       "rule_idx"))
+        # hot-conversation salt: partition by (conv_id, state-group) —
+        # rules in different groups share no state (state_groups), so a
+        # hot conv's rows spread across #groups partitions exactly
+        groups = state_groups(ruleset)
+        n_groups = len(set(groups.values()))
+        if n_groups > 1:
+            gmap = F.create_map(*[F.lit(x) for i, g in groups.items()
+                                  for x in (i, g)])
+            df = df.withColumn("_sg", gmap[F.col("rule_idx")])
+            rep = (df.repartition(F.col("conv_id"), F.col("_sg"))
+                     .sortWithinPartitions("conv_id", "_sg", "epoch",
+                                           "turn_idx", "rule_idx")
+                     .drop("_sg"))
+        else:
+            rep = (df.repartition(F.col("conv_id"))
+                     .sortWithinPartitions("conv_id", "epoch", "turn_idx",
+                                           "rule_idx"))
         fold = unified_fold(ruleset)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

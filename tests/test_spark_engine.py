@@ -425,3 +425,48 @@ def test_write_sink_bucketed_layout(spark, tmp_path):
         for b in pd.read_parquet(f)["bucket"].unique():
             assert seen.setdefault(int(b), f) == f
     assert len(seen) <= 4
+
+
+def test_state_groups_partitioning():
+    """Union-find groups: xbit/flexbit name sharing couples rules; a
+    flexbit count couples all flexbit rules; after/threshold rules stay
+    independent (sid-keyed state, after.c:113-117)."""
+    from sagan_spark.correlate import state_groups
+    rs = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"a"; content:"a"; '
+        'after: track by_src, count 1, seconds 60; sid:1;)',
+        'alert syslog any any -> any any (msg:"b"; content:"b"; '
+        'threshold: type limit, track by_src, count 1, seconds 60; sid:2;)',
+        'alert syslog any any -> any any (msg:"c"; content:"c"; '
+        'xbits: set,n1,track ip_src,expire 60; sid:3;)',
+        'alert syslog any any -> any any (msg:"d"; content:"d"; '
+        'xbits: isset,n1,track ip_src; sid:4;)',
+        'alert syslog any any -> any any (msg:"e"; content:"e"; '
+        'xbits: set,n2,track ip_src,expire 60; sid:5;)',
+    ]))
+    g = state_groups(rs)
+    assert g[2] == g[3]                    # shared xbit name n1
+    assert len({g[0], g[1], g[2], g[4]}) == 4   # otherwise independent
+
+
+def test_hot_conv_group_salting_exact(spark):
+    """A single hot conversation with multiple independent stateful rule
+    groups: the (conv_id, group) salt splits its rows without changing
+    any result (golden equality vs the oracle)."""
+    rules = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"a"; content:"login failed"; '
+        'after: track by_src, count 2, seconds 300; sid:1;)',
+        'alert syslog any any -> any any (msg:"t"; content:"probe"; '
+        'threshold: type limit, track by_src, count 2, seconds 300; '
+        'sid:2;)',
+        'alert syslog any any -> any any (msg:"s1"; content:"stage1"; '
+        'xbits: set,hb,track ip_src,expire 500; sid:3;)',
+        'alert syslog any any -> any any (msg:"s2"; content:"stage2"; '
+        'xbits: isset,hb,track ip_src; sid:4;)',
+    ]))
+    texts = ["login failed", "probe", "stage1", "stage2"] * 30
+    rows = _rows_from({"hot": [(i, t, i) for i, t in enumerate(texts)],
+                       "cold": [(0, "probe", 1)]})
+    o, res = run_both(spark, rows, rules)
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
