@@ -156,6 +156,13 @@ def validate_ruleset_for_spark(ruleset: RuleSet) -> None:
                 "on IP-extracted keys creates a cross-key state dependency "
                 "(engine.c:1132/1516/1560 one-pass semantics); only "
                 "conv-derived keys support this in distributed mode")
+        if r.xbits and r.flexbits:
+            # the staged path would apply each store's sets ignoring the
+            # OTHER store's gate on the same row; only the unified fold
+            # interleaves them in engine order
+            raise ValueError(
+                f"sid {r.sid}: xbits and flexbits in one rule need the "
+                "conv-keyed fast path (cross-store gate interleaving)")
         if r.xbits and len({x.track for x in r.xbits}) > 1:
             raise ValueError(
                 f"sid {r.sid}: multi-track xbits need the conv-keyed fast "

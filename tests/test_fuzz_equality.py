@@ -31,7 +31,9 @@ def _rule(draw):
         body.append("nocase")
     if draw(st.booleans()):
         body.append(f'content:!"{draw(st.sampled_from(_WORDS[:9]))}"')
-    corr = draw(st.sampled_from(("none", "after", "threshold", "xbit")))
+    corr = draw(st.sampled_from(
+        ("none", "after", "threshold", "xbit", "flexbit")))
+    second = None
     if corr == "after":
         body.append(f"after: track by_src, count "
                     f"{draw(st.integers(1, 3))}, seconds "
@@ -43,8 +45,24 @@ def _rule(draw):
     elif corr == "xbit":
         body.append(f"xbits: set,fz,track ip_src,expire "
                     f"{draw(st.sampled_from((50, 200)))}")
-    return ('alert syslog any any -> any any (msg:"fz"; '
+        # cross-rule consumer: isset (optionally combined with after —
+        # the engine-order interleaving path)
+        cbody = [f'content:"{draw(st.sampled_from(_WORDS[:9]))}"',
+                 "xbits: isset,fz,track ip_src"]
+        if draw(st.booleans()):
+            cbody.append("after: track by_src, count 1, seconds 120")
+        second = ('alert syslog any any -> any any (msg:"fz2"; '
+                  + "; ".join(cbody) + "; sid:78;)")
+    elif corr == "flexbit":
+        body.append(f"flexbits: set,fzf,"
+                    f"{draw(st.sampled_from((50, 200)))}")
+        cdir = draw(st.sampled_from(("by_src", "both", "none")))
+        second = ('alert syslog any any -> any any (msg:"fz2"; '
+                  f'content:"{draw(st.sampled_from(_WORDS[:9]))}"; '
+                  f'flexbits: isset,{cdir},fzf; sid:78;)')
+    rule = ('alert syslog any any -> any any (msg:"fz"; '
             + "; ".join(body) + "; sid:77;)")
+    return rule + ("\n" + second if second else "")
 
 
 @st.composite
@@ -78,8 +96,9 @@ def test_random_rule_random_rows_equal(spark, rule, rows):
     got = (res.alerts.select("conv_id", "turn_idx", "sid").toPandas()
            .sort_values(["conv_id", "turn_idx", "sid"])
            .reset_index(drop=True))
-    want = sorted((a["conv_id"], a["turn_idx"]) for a in o["alerts"])
-    assert list(zip(got["conv_id"], got["turn_idx"])) == want
+    want = sorted((a["conv_id"], a["turn_idx"], a["sid"])
+                  for a in o["alerts"])
+    assert list(zip(got["conv_id"], got["turn_idx"], got["sid"])) == want
     c = res.counters.toPandas().iloc[0]
     for k in ("events_received", "saganfound", "alert_total",
               "after_total", "threshold_total"):
