@@ -267,6 +267,60 @@ def _java_safe_regex(pattern: str) -> bool:
             and not _JAVA_SEMANTIC_DRIFT.search(pattern))
 
 
+_META = set(r".^$*+?{}[]()|\\" "\\")
+
+
+def _regex_required_literal(pattern: str) -> str:
+    """Longest LEADING literal run of a regex — every match must contain
+    it, so ``contains(literal)`` is a sound superset prefilter that costs
+    a substring scan instead of a per-row regex.  Escaped metachars
+    (``\\[`` etc.) count as literals; a trailing char made optional by a
+    following quantifier is dropped."""
+    if pattern.startswith("^"):
+        pattern = pattern[1:]
+    # a top-level alternation makes NO leading run required
+    # ("abcd|efgh" can match without "abcd"); group-internal alternation
+    # after the literal is fine
+    depth = 0
+    in_class = False
+    j = 0
+    while j < len(pattern):
+        c = pattern[j]
+        if c == "\\":
+            j += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        j += 1
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt and nxt not in "dwsbDWSBAZzG0123456789":
+                out.append(nxt)
+                i += 2
+                continue
+            break
+        if ch in _META:
+            break
+        out.append(ch)
+        i += 1
+    if i < n and pattern[i] in "*?{" and out:
+        out.pop()                 # optional/counted last char isn't required
+    return "".join(out)
+
+
 def _rule_prefilter(rule):
     """A Catalyst predicate satisfied by every row `rule` could match, or
     None when no conservative predicate exists (e.g. only negated
@@ -290,6 +344,12 @@ def _rule_prefilter(rule):
                 pred = p if pred is None else (pred | p)
             return pred
     for p in rule.pcres:
+        # a required literal beats rlike: the JVM contains-chain is a
+        # substring scan, the regex is per-row NFA work × rule count
+        lit = _regex_required_literal(p.pattern)
+        if len(lit) >= 4:
+            return (F.lower(F.col("text")).contains(lit.lower())
+                    if p.flags & _re.I else F.col("text").contains(lit))
         if _java_safe_regex(p.pattern):
             prefix = ""
             if p.flags & _re.I:
@@ -315,7 +375,13 @@ def _rule_prefilter_key(rule):
     for m in rule.meta_contents:
         if not m.negated and m.alternatives:
             return ("meta", m.alternatives, m.nocase)
+    import re as _re
+
     for p in rule.pcres:
+        lit = _regex_required_literal(p.pattern)
+        if len(lit) >= 4:
+            return ("content", lit.lower() if p.flags & _re.I else lit,
+                    bool(p.flags & _re.I))
         if _java_safe_regex(p.pattern):
             return ("pcre", p.pattern, p.flags)
     return None

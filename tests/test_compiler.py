@@ -236,3 +236,15 @@ def test_flexbit_direction_ladder_matches_reference():
     chk("src_xbitdst_p", ("B", "Z", 21, 99), False)
     chk("dst_xbitsrc_p", ("Z", "A", 99, 10), True)   # e.sport == c.dport
     chk("dst_xbitsrc_p", ("Z", "A", 99, 11), False)
+
+
+def test_regex_required_literal():
+    from sagan_spark.match import _regex_required_literal as lit
+    assert lit(r"sshd\[[0-9]+\]: .*overflow") == "sshd["
+    assert lit(r"^Accepted password for \S+") == "Accepted password for "
+    assert lit(r"abcd|efgh") == ""          # top-level alternation
+    assert lit(r"abc(d|e)f") == "abc"       # group-internal is fine
+    assert lit(r"fo?obar") == "f"           # optional char dropped
+    assert lit(r"a{0,2}bcd") == ""          # counted char dropped
+    assert lit(r"(file system full|no space)") == ""
+    assert lit(r"\d+ failures") == ""       # class shorthand leads
