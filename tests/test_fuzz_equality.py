@@ -30,7 +30,17 @@ def _rule(draw):
     if draw(st.booleans()):
         body.append("nocase")
     if draw(st.booleans()):
+        # byte-window modifiers on the first content (engine.c:502-558)
+        body.append(f"offset:{draw(st.integers(0, 8))}")
+        body.append(f"depth:{draw(st.integers(3, 20))}")
+    if draw(st.booleans()):
         body.append(f'content:!"{draw(st.sampled_from(_WORDS[:9]))}"')
+    if draw(st.booleans()):
+        body.append(f'meta_content:"%sagan%",'
+                    f'{draw(st.sampled_from(_WORDS[:6]))},'
+                    f'{draw(st.sampled_from(_WORDS[:6]))}')
+    if draw(st.booleans()):
+        body.append(f'program: {draw(st.sampled_from(("sshd", "ngin*", "nomatch")))}')
     corr = draw(st.sampled_from(
         ("none", "after", "threshold", "xbit", "flexbit")))
     second = None
