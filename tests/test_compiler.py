@@ -23,7 +23,7 @@ FIXTURES = "rules-fixtures"
 
 def test_fixture_corpus_compiles():
     rs = compile_ruleset_from_dir(FIXTURES)
-    assert len(rs.rules) == 28
+    assert len(rs.rules) == 32
     sids = [r.sid for r in rs.rules]
     assert sids == sorted(sids)  # load order preserved (rules.c:199-202)
     assert rs.classifications["brute-force"] == ("Brute Force Attack", 1)
