@@ -32,9 +32,10 @@ Execution strategy (scale notes):
   co-locates the interaction; the reference runs them in one
   shared-memory pass (engine.c:1132/1516/1560) that has no distributed
   equivalent without a serial stage.  Flexbit rules with extracted IPs
-  (or the globally-shared 'none' direction, flexbit-mmap.c:124) run as a
-  single-partition fold over ONLY the flexbit-rule rows — exact, and
-  cheap because flexbit-rule match density is a tiny fraction of input.
+  (or the 'none' direction, flexbit-mmap.c:124) fold per flexbit
+  NAME-GROUP (flexbit_groups): entries are name-scoped, so independent
+  names partition exactly; only a `count` clause (name-agnostic scan)
+  couples groups into one serial fold.
 * Deterministic (epoch, conv_id, turn_idx, rule_idx) order inside each
   key — the batch replacement for the reference's wall-clock arrival
   order (SURVEY §2.6).
@@ -71,16 +72,32 @@ def _track_conv_derived(tracks: tuple[str, ...]) -> bool:
     return "by_src" in tracks or "by_dst" in tracks
 
 
-def conv_keyed_only(ruleset: RuleSet) -> bool:
+def has_none_flexbits(ruleset: RuleSet) -> bool:
+    """'none'-direction flexbit state is shared across conv keys (any
+    src/dst matches, flexbit-mmap.c:124) — but only for the clauses that
+    actually compare directions (isset/isnotset/unset); a 'set' clause
+    ignores its direction field entirely."""
+    return any(fb.direction == "none" for r in ruleset.rules
+               for fb in r.flexbits
+               if fb.action in ("isset", "isnotset", "unset"))
+
+
+def conv_keyed_only(ruleset: RuleSet,
+                    ignore_none_flexbits: bool = False) -> bool:
     """True when every stateful rule's correlation keys are functions of
     conv_id alone (the host-fallback path, engine.c:967-1045): no
     parse_src_ip/parse_dst_ip/parse_port/normalize on a rule that has
     after/threshold/xbits/flexbits, every after/threshold track set
     contains a conv-derived component (see _track_conv_derived), and no
-    flexbit uses the globally-shared 'none' direction.  Then ONE
+    flexbit uses the cross-conv 'none' direction.  Then ONE
     conv_id-hash repartition co-locates every correlation key — the
     north star's explicit conv_id partitioning — and the whole stateful
-    stage is a single shuffle + one engine-order fold."""
+    stage is a single shuffle + one engine-order fold.
+
+    ``ignore_none_flexbits=True`` answers the weaker question "is
+    conv_id the only cross-rule key, modulo 'none' flexbit sharing?" —
+    the streaming correlator uses it to route such rulesets through a
+    single global state group instead of rejecting them."""
     for r in ruleset.rules:
         if not (r.after or r.threshold or r.xbits or r.flexbits):
             continue
@@ -91,12 +108,8 @@ def conv_keyed_only(ruleset: RuleSet) -> bool:
             return False
         if r.threshold and not _track_conv_derived(r.threshold.tracks):
             return False
-        # 'none' is globally-shared state — but only for the clauses that
-        # actually compare directions (isset/isnotset/unset); a 'set'
-        # clause ignores its direction field entirely
-        if any(fb.direction == "none" for fb in r.flexbits
-               if fb.action in ("isset", "isnotset", "unset")):
-            return False
+    if not ignore_none_flexbits and has_none_flexbits(ruleset):
+        return False
     return True
 
 
@@ -141,6 +154,49 @@ def state_groups(ruleset: RuleSet) -> dict[int, int]:
     for i in range(len(ruleset.rules)):
         root = find(("r", i))
         out[i] = roots.setdefault(root, len(roots))
+    return out
+
+
+def flexbit_groups(ruleset: RuleSet) -> dict[int, int]:
+    """rule_idx → flexbit state-group id, for flexbit rules only.
+
+    Flexbit entries live in per-NAME lists (flexbit-mmap.c name match on
+    every isset/unset/set scan) — even the 'none' direction only widens
+    the (src, dst) comparison, never the name scope — so rules interact
+    iff they share a flexbit NAME.  The one name-agnostic reader is the
+    `count` clause (flexbit-mmap.c:683-744 scans entries of every name),
+    whose presence couples all flexbit rules into a single group.
+    Union-find over shared names; the general-path fold partitions by
+    this group id, so the stage is serial ONLY per coupled group, not
+    globally (the round-2 repartition(1) scale-killer)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    has_count = any(fb.action == "count"
+                    for r in ruleset.rules for fb in r.flexbits)
+    for i, r in enumerate(ruleset.rules):
+        if not r.flexbits:
+            continue
+        node = ("r", i)
+        find(node)
+        for fb in r.flexbits:
+            union(node, ("f", fb.name))
+        if has_count:
+            union(node, ("f", "__all__"))
+    roots: dict = {}
+    out: dict[int, int] = {}
+    for i, r in enumerate(ruleset.rules):
+        if r.flexbits:
+            root = find(("r", i))
+            out[i] = roots.setdefault(root, len(roots))
     return out
 
 
@@ -387,8 +443,8 @@ def _xbit_fold(ruleset: RuleSet):
 
 
 def _flexbit_serial_fold(ruleset: RuleSet):
-    """Single-partition flexbit fold for IP-extracted / 'none'-direction
-    rules: gates + sets, engine order, over flexbit-rule rows only.
+    """Per-group flexbit fold for IP-extracted / 'none'-direction rules:
+    gates + sets, engine order, over one name-group's rows at a time.
     after/threshold are rejected on these rules (validator), so the gate
     alone decides and sets always fire on gate-pass (engine.c:1560)."""
     def fold(pdf: pd.DataFrame, flex: FlexStore) -> list[bool]:
@@ -512,17 +568,37 @@ def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
         df = df.filter(F.col("xbit_key").isNull()).unionByName(folded)
 
     if has_flex:
+        import numpy as np
+
         flex_sids = [r.sid for r in ruleset.rules if r.flexbits]
-        keyed = df.filter(F.col("sid").isin(flex_sids)) \
-                  .repartition(1).sortWithinPartitions(*_SORT)
+        fgroups = flexbit_groups(ruleset)
+        # partition the flexbit fold by name-group (flexbit_groups): state
+        # never crosses a flexbit name, so each group folds independently —
+        # serial work is bounded by the largest coupled group (ONLY a
+        # `count` clause couples globally), not the whole flexbit row set
+        gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
+                              for x in (i, g)])
+        keyed = (df.filter(F.col("sid").isin(flex_sids))
+                   .withColumn("_fg", gmap[F.col("rule_idx")])
+                   .repartition(F.col("_fg"))
+                   .sortWithinPartitions("_fg", *_SORT))
         fold = _flexbit_serial_fold(ruleset)
 
         def run_flex(batches: Iterator[pd.DataFrame]
                      ) -> Iterator[pd.DataFrame]:
-            flex = FlexStore()
+            # one FlexStore per group: hash-partitioning may co-locate
+            # several groups, and Arrow may split a group across batches
+            stores: dict[int, FlexStore] = {}
             for pdf in batches:
-                pdf["flexbit_pass"] = pd.Series(
-                    fold(pdf, flex), dtype=bool, index=pdf.index)
+                fg = pdf["_fg"].to_numpy()
+                pdf = pdf.drop(columns=["_fg"])
+                flags = np.empty(len(pdf), dtype=bool)
+                for g in pd.unique(fg):
+                    idx = np.nonzero(fg == g)[0]
+                    store = stores.setdefault(int(g), FlexStore())
+                    flags[idx] = fold(pdf.iloc[idx], store)
+                pdf["flexbit_pass"] = pd.Series(flags, dtype=bool,
+                                                index=pdf.index)
                 yield pdf
 
         folded = _track(keyed.mapInPandas(run_flex, schema=CORR_SCHEMA)

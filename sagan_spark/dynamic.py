@@ -101,4 +101,7 @@ def run_pipeline_dynamic(spark: SparkSession, transcripts: DataFrame,
     detection_alerts = (det.filter(F.col("first_trigger"))
                         .select("conv_id", "turn_idx", "sid", "ip_src",
                                 "ip_dst", "msg", "classtype"))
+    # the detection frame rides the result's unpersist() lifecycle so
+    # long-lived sessions don't accumulate cached partitions per call
+    res.persisted.append(det)
     return res, detection_alerts, loaded_names

@@ -114,14 +114,16 @@ def parse_json_input(df: DataFrame, mapping: dict[str, str],
         if key is None:
             col = F.lit(UNDEFINED)
         else:
-            col = F.coalesce(
-                F.when(F.col("malformed_json") == 0,
-                       F.get_json_object(F.col(text_col), f"$.{key}")),
-                F.lit(UNDEFINED))
-        if field == "message":
-            # leading-space quirk (input-json.c:147 snprintf " %s")
-            col = F.when(col == UNDEFINED, col).otherwise(
-                F.concat(F.lit(" "), col))
+            raw = F.when(F.col("malformed_json") == 0,
+                         F.get_json_object(F.col(text_col), f"$.{key}"))
+            col = F.coalesce(raw, F.lit(UNDEFINED))
+            if field == "message":
+                # leading-space quirk (input-json.c:147 snprintf " %s"):
+                # gated on key PRESENCE, not on the value — a message
+                # field literally equal to "UNDEFINED" still gets the
+                # space the reference's snprintf always prepends
+                col = F.when(raw.isNull(), F.lit(UNDEFINED)).otherwise(
+                    F.concat(F.lit(" "), raw))
         out = out.withColumn(field, col)
     return out
 

@@ -195,8 +195,12 @@ class FlexStore:
     # entry layout: [ip_src, ip_dst, src_port, dst_port, expire_at, state]
 
     def condition(self, rule, src, dst, sport, dport, t) -> bool:
-        """Flexbit_Condition_MMAP (flexbit-mmap.c:61-670): tally of
-        passing isset/isnotset clauses must equal the clause count."""
+        """Flexbit_Condition_MMAP (flexbit-mmap.c:61-670): the final test
+        is EXACT equality tally == condition_count, and an isset clause
+        increments the tally once per matching live entry with NO break
+        (flexbit-mmap.c:116-318,637) — so TWO live entries matching one
+        isset clause (same src, two dsts, direction by_src) overcount and
+        make the reference return false.  Quirk preserved bit-for-bit."""
         tally = n_cond = 0
         for fb in rule.flexbits:
             if fb.action == "isset":
@@ -206,7 +210,6 @@ class FlexStore:
                             fb.direction, e[0], e[1], e[2], e[3],
                             src, dst, sport, dport):
                         tally += 1
-                        break
             elif fb.action == "isnotset":
                 n_cond += 1
                 hit = any(

@@ -8,10 +8,13 @@ named pipe, /root/reference/src/sagan.c:1142-1345) re-expressed as:
       → CORRELATE          (applyInPandasWithState keyed by conv_id — the
                             streaming analog of the batch conv-partition
                             fold; state = the after/threshold/xbit dicts,
-                            JSON-encoded in the GroupState, with a
-                            processing-time timeout as the eviction path
-                            that the reference implements via
-                            Clean_IPC_Object, src/ipc.c:79-200)
+                            JSON-encoded in the GroupState.  Store ENTRIES
+                            evict by EVENT time (_make_pruner — the
+                            Clean_IPC_Object analog, src/ipc.c:79-200);
+                            the processing-time timeout only GCs whole
+                            groups, so a stalled or backfilled source
+                            cannot lose event-time-live entries unless the
+                            conv itself goes wall-clock silent)
       → ROUTE              (foreachBatch fan-out to the same sinks)
 
 Watermark note: the reference has NO event-time semantics — correlation
@@ -22,9 +25,10 @@ arrival-order semantics per micro-batch by sorting each group's rows on
 sequence reproduces the batch result (tested in
 tests/test_streaming.py).
 
-Requires ``conv_keyed_only(ruleset)`` — IP-extracted correlation keys
-would need a second keyed stage; rejected at plan time like the batch
-fast path's precondition.
+Requires conv-derived correlation keys — IP-extracted keys would need a
+second keyed stage; rejected at plan time like the batch fast path's
+precondition.  Rulesets whose only cross-conv state is 'none'-direction
+flexbit sharing run in a single global state group instead.
 """
 
 from __future__ import annotations
@@ -90,22 +94,73 @@ def default_state_timeout_ms(ruleset: RuleSet) -> int:
     return 2 * horizon * 1000 if horizon else 3600_000
 
 
+def _make_pruner(ruleset: RuleSet):
+    """Event-time state eviction (the Clean_IPC_Object analog,
+    src/ipc.c:79-200, driven by EVENT epochs instead of wall clock):
+    drops store entries whose liveness window ended more than one full
+    horizon before the max event epoch seen by this group — exact under
+    event-time disorder bounded by the horizon (one largest-window's
+    worth of backfill), and the real per-group state-size bound; the
+    processing-time GroupState timeout then only GCs groups wholesale.
+
+    Flexbit entries are pruned ONLY when the ruleset has no `count`
+    clause: count is expiry-agnostic (flexbit-mmap.c:683-744 checks
+    neither state nor expiry) and counts entry CREATIONS, so dropping an
+    expired entry that a later `set` would have merely updated would
+    double-count it."""
+    horizon = default_state_timeout_ms(ruleset) // 2000  # largest window
+    after_w = {(r.sid, r.rev): r.after.seconds
+               for r in ruleset.rules if r.after}
+    thresh_w = {r.sid: r.threshold.seconds
+                for r in ruleset.rules if r.threshold}
+    flex_ok = not any(fb.action == "count"
+                      for r in ruleset.rules for fb in r.flexbits)
+
+    def prune(st: CorrState, max_epoch: int) -> None:
+        cut = max_epoch - horizon
+        st.after = {k: v for k, v in st.after.items()
+                    if v[1] + after_w.get((k[0], k[1]), 0) >= cut}
+        st.thresh = {k: v for k, v in st.thresh.items()
+                     if v[1] + thresh_w.get(k[0], 0) >= cut}
+        st.xbit = {k: exp for k, exp in st.xbit.items() if exp >= cut}
+        if flex_ok:
+            keep = [(name, e) for name, e in st.flex.dump() if e[4] >= cut]
+            st.flex = FlexStore.load(keep)
+
+    return prune
+
+
 def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0):
-    """applyInPandasWithState function: per conv_id group, fold the
-    micro-batch's rows (sorted deterministically) through the same
-    unified engine-order fold as batch, persisting the stores in the
-    GroupState across micro-batches."""
+    """applyInPandasWithState function: per group (conv_id, or the single
+    global group for 'none'-flexbit rulesets), fold the micro-batch's
+    rows (sorted deterministically) through the same unified engine-order
+    fold as batch, persisting the stores in the GroupState across
+    micro-batches.  Store entries are evicted by EVENT time via
+    _make_pruner on every invocation."""
     fold = unified_fold(ruleset)
+    prune = _make_pruner(ruleset)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         st = _decode_state(state.get[0]) if state.exists else CorrState()
-        sorted_batches = (
-            pdf.sort_values(["epoch", "turn_idx", "rule_idx"])
-               .reset_index(drop=True) for pdf in pdfs)
-        yield from apply_fold_to_batches(fold, st, sorted_batches)
+        max_epoch = 0
+
+        def batches():
+            nonlocal max_epoch
+            for pdf in pdfs:
+                if "_grp" in pdf.columns:
+                    pdf = pdf.drop(columns=["_grp"])
+                if len(pdf):
+                    max_epoch = max(max_epoch, int(pdf["epoch"].max()))
+                yield (pdf.sort_values(["epoch", "conv_id", "turn_idx",
+                                        "rule_idx"])
+                       .reset_index(drop=True))
+
+        yield from apply_fold_to_batches(fold, st, batches())
+        if max_epoch:
+            prune(st, max_epoch)
         state.update((_encode_state(st),))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
@@ -134,7 +189,15 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
     from pyspark.sql import functions as F
 
     validate_ruleset_for_spark(ruleset)
-    if not conv_keyed_only(ruleset):
+    # grouping: per-conv state groups on the fast path; rulesets whose
+    # ONLY cross-conv state is 'none'-direction flexbit sharing
+    # (flexbit-mmap.c:124 matches any src/dst) route through a single
+    # global group — exact, serial over matched rows only
+    if conv_keyed_only(ruleset):
+        group_col = None
+    elif conv_keyed_only(ruleset, ignore_none_flexbits=True):
+        group_col = "_grp"
+    else:
         raise ValueError("streaming correlator requires conv-derived "
                          "correlation keys (conv_keyed_only)")
     if state_timeout_ms is None:
@@ -159,13 +222,17 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
         return base
     timeout = ("ProcessingTimeTimeout" if state_timeout_ms
                else "NoTimeout")
-    return (base.groupBy("conv_id")
-            .applyInPandasWithState(
-                _stateful_correlator(ruleset, state_timeout_ms),
-                outputStructType=CORR_SCHEMA,
-                stateStructType=STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=timeout))
+    if group_col is None:
+        grouped = base.groupBy("conv_id")
+    else:
+        grouped = (base.withColumn(group_col, F.lit("__global__"))
+                   .groupBy(group_col))
+    return grouped.applyInPandasWithState(
+        _stateful_correlator(ruleset, state_timeout_ms),
+        outputStructType=CORR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout)
 
 
 def run_stream_to_parquet(spark, in_path: str, out_path: str,

@@ -49,6 +49,10 @@ from .rules.compiler import ip_to_int
 _EXOTIC_RE = re.compile(
     r"#"                                      # ip#port / inet# (ip.c:44,55)
     r"|\S:\S*:"                               # ≥2 colons → IPv6 candidates
+    r"|::"                                    # compressed IPv6 ('::1') — a
+                                              # leading '::' has no non-space
+                                              # before its first colon, so the
+                                              # \S:\S*: alternative misses it
     r"|(?:^|\s):\d"                           # '[ip] :80' split token (ip.c:58)
     r"|[\d.]\s+\S*port"                       # 'ip port 1234' follow (ip.c:289)
     r"|[\d.]\s+(?:source|destination|desitnation|client)\s"  # ip.c:321-413

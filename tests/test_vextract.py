@@ -28,6 +28,7 @@ ZOO = [
     "typo 10.5.5.5 desitnation port 55 done",
     "proto tcp with 10.6.6.6",
     "ipv6 fe80::1 here",
+    "login from ::1",
     "two 1.1.1.1 then 2.2.2.2:82",
     "invalid 999.1.2.3 then 3.3.3.3",
     "overflow 1.2.3.456 no",
@@ -111,7 +112,7 @@ def test_flow_mask_matches_row_flow():
 _frag = st.sampled_from([
     "1.2.3.4", "10.0.0.1.", "192.168.1.1:80", "1.1.1.1#81", ":82",
     "port", "source", "client", "port:", "83", "tcp", "udp", "icmp",
-    "fe80::1", "inet#4.3.2.1", "999.9.9.9", "1.2.3", "word", "x.y.z.w",
+    "fe80::1", "::1", "inet#4.3.2.1", "999.9.9.9", "1.2.3", "word", "x.y.z.w",
     "deadbeefdeadbeefdeadbeefdeadbeef", "..", "-", "(5.5.5.5)",
     "[6.6.6.6]:443", "7.7.7.7,8.8.8.8",
 ])
