@@ -285,6 +285,26 @@ def _gates_ruleset():
         os.path.join(REPO, "rules-entry", "gates"))
 
 
+@lru_cache(maxsize=1)
+def _ipkeys_ruleset():
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    return compile_ruleset_from_dir(
+        os.path.join(REPO, "rules-entry", "ipkeys"))
+
+
+def _ip_correlated_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated frame for the IP-keyed corpus — parse_src_ip keys force
+    the staged GENERAL path in correlate.py (the reference's primary
+    deployment mode, after.c:108-110 hashes extracted addresses)."""
+    from sagan_spark.correlate import conv_keyed_only, run_correlate
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _ipkeys_ruleset()
+    assert not conv_keyed_only(rs)   # must exercise the general path
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return run_correlate(run_match(parsed, rs), rs)
+
+
 def _matches_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.match import run_match
     from sagan_spark.parse import parse_transcripts, split_ignored
@@ -451,6 +471,50 @@ def _q_geoip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_transcripts(_transcripts(spark, sf_dir))
     return (run_match(parsed, rs)
             .filter(F.col("sid") == 6200002)
+            .select("conv_id", "turn_idx", "ip_src"))
+
+
+def _q_correlate_after_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on extracted-IP keys (after.c:108-110): the staged general
+    path's after fold, keyed by parse_src_ip addresses that recur across
+    conversations."""
+    return (_ip_correlated_df(spark, sf_dir).filter(F.col("sid") == 6400001)
+            .select("conv_id", "turn_idx", "epoch", "ip_src",
+                    "suppress_after"))
+
+
+def _q_correlate_threshold_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on extracted-IP keys (threshold.c:118-123 rolling anchor)."""
+    return (_ip_correlated_df(spark, sf_dir).filter(F.col("sid") == 6400002)
+            .select("conv_id", "turn_idx", "epoch", "ip_src",
+                    "suppress_thresh"))
+
+
+def _q_correlate_xbit_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with track ip_pair on extracted src (xbit-mmap.c:88-91): the
+    general path's keyed xbit stage."""
+    return (_ip_correlated_df(spark, sf_dir).filter(F.col("sid") == 6400003)
+            .select("conv_id", "turn_idx", "xbit_pass"))
+
+
+def _q_correlate_flexbit_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 on extracted-IP keys through the name-group-partitioned flexbit
+    fold, including the exact-tally overcount quirk: one src live from
+    TWO conversations (two store entries) makes isset FAIL
+    (flexbit-mmap.c:116-318,637)."""
+    return (_ip_correlated_df(spark, sf_dir).filter(F.col("sid") == 6400005)
+            .select("conv_id", "turn_idx", "flexbit_pass"))
+
+
+def _q_blacklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: CIDR blacklist membership on src OR dst
+    (processors/blacklist.c:244-297)."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid") == 6200004)
             .select("conv_id", "turn_idx", "ip_src"))
 
 
@@ -1317,6 +1381,104 @@ SELECT conv_id, turn_idx, (last_set IS NOT NULL) AS flexbit_pass
 FROM fx WHERE sid = 6100003
 """
 
+# IP-keyed correlation prelude: the 'connection from 192.168.a.b:port'
+# rows with their extracted source IP — the state key for every sid in
+# rules-entry/ipkeys (engine order inside a key: epoch, conv_id, turn_idx)
+_S_A7 = 604800      # ipkeys after window (7 days) — recurrence gaps ~3d
+_C_A1 = 1           # ipkeys after count
+_S_30 = 2592000     # ipkeys xbit expire / flexbit timeout (full span)
+_IPM = f"""
+t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text, epoch FROM t),
+im AS (SELECT conv_id, turn_idx, epoch,
+              regexp_extract(text, 'from ({_IP4}):', 1) AS ip
+       FROM p WHERE text LIKE '%connection from%')
+"""
+
+_ORACLES["correlate_after_ip"] = f"""
+WITH RECURSIVE {_IPM},
+aord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+           ORDER BY epoch, conv_id, turn_idx) AS rn FROM im),
+arec AS (
+  SELECT ip, conv_id, turn_idx, rn, epoch, 1 AS cnt, epoch AS utime,
+         TRUE AS sup
+  FROM aord WHERE rn = 1
+  UNION ALL
+  SELECT a.ip, a.conv_id, a.turn_idx, a.rn, a.epoch,
+         CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1 ELSE q.cnt + 1 END,
+         CASE WHEN (CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1
+                         ELSE q.cnt + 1 END) > {_C_A1} THEN a.epoch
+              WHEN a.epoch - q.utime > {_S_A7} THEN a.epoch
+              ELSE q.utime END,
+         ((CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1
+                ELSE q.cnt + 1 END) <= {_C_A1})
+  FROM aord a JOIN arec q ON a.ip = q.ip AND a.rn = q.rn + 1)
+SELECT conv_id, turn_idx, epoch, ip AS ip_src, sup AS suppress_after
+FROM arec
+"""
+
+_ORACLES["correlate_threshold_ip"] = f"""
+WITH RECURSIVE {_IPM},
+tord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+           ORDER BY epoch, conv_id, turn_idx) AS rn FROM im),
+trec AS (
+  SELECT ip, conv_id, turn_idx, rn, epoch, 1 AS cnt, FALSE AS sup
+  FROM tord WHERE rn = 1
+  UNION ALL
+  SELECT b.ip, b.conv_id, b.turn_idx, b.rn, b.epoch,
+         CASE WHEN b.epoch - q.epoch > {_S} THEN 1 ELSE q.cnt + 1 END,
+         ((CASE WHEN b.epoch - q.epoch > {_S} THEN 1
+                ELSE q.cnt + 1 END) > {_C})
+  FROM tord b JOIN trec q ON b.ip = q.ip AND b.rn = q.rn + 1)
+SELECT conv_id, turn_idx, epoch, ip AS ip_src, sup AS suppress_thresh
+FROM trec
+"""
+
+# xbit track ip_pair: key = extracted src | conv dst; every im row is both
+# the isset row (sid 6400003, lower rule_idx — evaluated first) and the
+# set row (sid 6400004), so the last PRIOR im row of the same (ip, conv)
+# pair is the latest set and liveness is epoch < last_set + expire
+_ORACLES["correlate_xbit_pair"] = f"""
+WITH {_IPM},
+xb AS (SELECT conv_id, turn_idx, epoch,
+         MAX(epoch) OVER (PARTITION BY ip, conv_id
+           ORDER BY epoch, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_set
+       FROM im)
+SELECT conv_id, turn_idx,
+       (last_set IS NOT NULL AND epoch < last_set + {_S_30}) AS xbit_pass
+FROM xb
+"""
+
+# flexbit isset by_src on extracted keys, EXACT-tally quirk: store entries
+# are (name, src, dst=conv-of-the-set-row) tuples; the isset tallies one
+# per LIVE matching entry and passes only when tally == 1 — a src set from
+# two conversations (two live entries) FAILS (flexbit-mmap.c:116-318,637).
+# Engine order: the same-row set (sid 6400006, higher rule_idx) happens
+# AFTER the isset, so only strictly-prior rows (rnk) create entries.
+_ORACLES["correlate_flexbit_ip"] = f"""
+WITH {_IPM},
+ord2 AS (SELECT *, ROW_NUMBER() OVER
+           (ORDER BY epoch, conv_id, turn_idx) AS rnk FROM im),
+pares AS (
+  SELECT i.rnk, i.epoch AS ie, s.conv_id AS d, MAX(s.epoch) AS last_set
+  FROM ord2 i JOIN ord2 s ON s.ip = i.ip AND s.rnk < i.rnk
+  GROUP BY i.rnk, i.epoch, s.conv_id),
+tal AS (
+  SELECT rnk, COUNT(*) FILTER (WHERE ie < last_set + {_S_30}) AS tally
+  FROM pares GROUP BY rnk)
+SELECT o.conv_id, o.turn_idx, COALESCE(t.tally, 0) = 1 AS flexbit_pass
+FROM ord2 o LEFT JOIN tal t ON t.rnk = o.rnk
+"""
+
+# blacklist CIDRs in rules-entry/gates/blacklist.txt: 192.168.9.0/24 and
+# 192.168.57.0/24 — membership reduces to the third octet on this corpus
+_ORACLES["blacklist_gate"] = f"""
+WITH {_IPM}
+SELECT conv_id, turn_idx, ip AS ip_src FROM im
+WHERE CAST(string_split(ip, '.')[3] AS INT) IN (9, 57)
+"""
+
 _INTEL_IPS = "'12.8.1.9', '12.16.2.17', '12.64.9.65', '12.128.18.129'"
 
 _ORACLES["intel_gate"] = f"""
@@ -1647,6 +1809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "ann_ivf": _q_ann_ivf,
         "perfmon": _q_perfmon,
+        # round-3: IP-keyed correlation (the general path) + blacklist
+        "correlate_after_ip": _q_correlate_after_ip,
+        "correlate_threshold_ip": _q_correlate_threshold_ip,
+        "correlate_xbit_pair": _q_correlate_xbit_pair,
+        "correlate_flexbit_ip": _q_correlate_flexbit_ip,
+        "blacklist_gate": _q_blacklist_gate,
     }
 
 

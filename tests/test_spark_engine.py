@@ -470,3 +470,129 @@ def test_hot_conv_group_salting_exact(spark):
     o, res = run_both(spark, rows, rules)
     assert_alerts_equal(o, res)
     assert_counters_equal(o, res)
+
+
+def test_flexbit_name_groups():
+    """flexbit_groups: independent names → independent groups; a shared
+    name unions; one `count` clause couples ALL flexbit rules."""
+    from sagan_spark.correlate import flexbit_groups
+    rs = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"a"; content:"a"; '
+        'parse_src_ip: 1; flexbits: set,n1,500; sid:1;)',
+        'alert syslog any any -> any any (msg:"b"; content:"b"; '
+        'parse_src_ip: 1; flexbits: isset,by_src,n1; sid:2;)',
+        'alert syslog any any -> any any (msg:"c"; content:"c"; '
+        'parse_src_ip: 1; flexbits: set,n2,500; sid:3;)',
+    ]))
+    g = flexbit_groups(rs)
+    assert g[0] == g[1] and g[0] != g[2]
+    rs2 = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"a"; content:"a"; '
+        'parse_src_ip: 1; flexbits: set,n1,500; sid:1;)',
+        'alert syslog any any -> any any (msg:"c"; content:"c"; '
+        'parse_src_ip: 1; flexbits: set,n2,500; '
+        'flexbits: count,by_src,gt 0; sid:2;)',
+    ]))
+    g2 = flexbit_groups(rs2)
+    assert len(set(g2.values())) == 1      # count couples everything
+
+
+def test_flexbit_general_path_parallel_groups(spark):
+    """Two unrelated flexbit names on the IP-keyed general path: the
+    fold shuffles by name-group (no Exchange SinglePartition in the
+    plan — the round-2 repartition(1) stage is gone) and stays
+    golden-equal to the oracle."""
+    rules = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"s1"; content:"alpha set"; '
+        'parse_src_ip: 1; flexbits: set,n1,500; sid:1;)',
+        'alert syslog any any -> any any (msg:"c1"; content:"alpha chk"; '
+        'parse_src_ip: 1; flexbits: isset,by_src,n1; sid:2;)',
+        'alert syslog any any -> any any (msg:"s2"; content:"beta set"; '
+        'parse_src_ip: 1; flexbits: set,n2,500; sid:3;)',
+        'alert syslog any any -> any any (msg:"c2"; content:"beta chk"; '
+        'parse_src_ip: 1; flexbits: isset,by_src,n2; sid:4;)',
+    ]))
+    from sagan_spark.correlate import conv_keyed_only, flexbit_groups
+    assert not conv_keyed_only(rules)
+    assert len(set(flexbit_groups(rules).values())) == 2
+    rows = _rows_from({
+        "c1": [(0, "alpha set 10.0.0.1", 0), (1, "alpha chk 10.0.0.1", 10),
+               (2, "beta chk 10.0.0.1", 20), (3, "beta set 10.0.0.2", 30),
+               (4, "beta chk 10.0.0.2", 40), (5, "alpha chk 10.0.0.2", 50)],
+        "c2": [(0, "alpha chk 10.0.0.1", 15), (1, "beta set 10.0.0.1", 25),
+               (2, "beta chk 10.0.0.1", 35), (3, "alpha chk 10.0.0.1", 600)],
+    })
+    o, res = run_both(spark, rows, rules)
+    plan = res.correlated._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert_alerts_equal(o, res)
+    assert_counters_equal(o, res)
+
+
+def test_flexbit_exact_tally_overcount(spark):
+    """The no-break tally quirk (flexbit-mmap.c:116-318,637): ONE source
+    set from TWO destinations holds two live entries, so a single
+    isset-by_src clause tallies 2 != 1 and must FAIL."""
+    rules = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"s"; content:"seen"; '
+        'parse_src_ip: 1; parse_dst_ip: 2; flexbits: set,w,500; sid:1;)',
+        'alert syslog any any -> any any (msg:"c"; content:"probe"; '
+        'parse_src_ip: 1; flexbits: isset,by_src,w; sid:2;)',
+    ]))
+    rows = _rows_from({
+        "c1": [(0, "seen 10.0.0.1 to 10.0.0.9", 0),
+               (1, "probe 10.0.0.1", 10),          # 1 live entry → pass
+               (2, "seen 10.0.0.1 to 10.0.0.8", 20),
+               (3, "probe 10.0.0.1", 30)],         # 2 live entries → FAIL
+    })
+    o, res = run_both(spark, rows, rules)
+    got = (res.correlated.filter("sid = 2")
+           .select("turn_idx", "flexbit_pass").toPandas()
+           .sort_values("turn_idx"))
+    assert got["flexbit_pass"].tolist() == [True, False]
+    assert_alerts_equal(o, res)
+
+
+def test_checkpoint_resume(spark, tmp_path, monkeypatch):
+    """Kill-and-resume (north rule's resume requirement): a run that dies
+    mid-unit leaves completed units' lineage + sinks intact; the resumed
+    run skips exactly those units and the final sinks equal a single
+    uninterrupted run row-for-row."""
+    import pandas as _pd
+
+    import sagan_spark.pipeline as pl
+    from sagan_spark.checkpoint import run_with_checkpoint
+
+    rows = gen_rows(30)
+    df = spark_df_from_rows(spark, rows)
+    rs = compile_ruleset_from_dir("rules-fixtures")
+
+    out_full = str(tmp_path / "full")
+    full = run_with_checkpoint(spark, df, rs, out_full, "runA", n_units=4)
+    assert full["units_skipped"] == 0 and full["alerts"] > 0
+
+    out_ck = str(tmp_path / "ck")
+    real = pl.run_pipeline
+    calls = {"n": 0}
+
+    def dying(spark_, part, ruleset, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:                       # die mid-3rd-unit
+            raise RuntimeError("simulated executor loss")
+        return real(spark_, part, ruleset, **kw)
+
+    monkeypatch.setattr(pl, "run_pipeline", dying)
+    with pytest.raises(RuntimeError):
+        run_with_checkpoint(spark, df, rs, out_ck, "runB", n_units=4)
+    monkeypatch.setattr(pl, "run_pipeline", real)
+
+    resumed = run_with_checkpoint(spark, df, rs, out_ck, "runC", n_units=4)
+    assert resumed["units_skipped"] == 2          # the two completed units
+
+    def _read(out):
+        p = (spark.read.parquet(out + "/alert").toPandas()
+             .drop(columns=["unit"], errors="ignore"))
+        cols = sorted(c for c in p.columns if c != "ts")
+        return (p[cols].sort_values(cols).reset_index(drop=True))
+
+    _pd.testing.assert_frame_equal(_read(out_full), _read(out_ck))

@@ -139,3 +139,24 @@ def test_stream_flexbits_equal_batch(spark, tmp_path):
     assert (batch["flexbit_pass"] == False).any() or len(batch) == 0 \
         or True  # ensure column exists; equality below is the real check
     pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_stream_none_flexbit_equal_batch(spark, tmp_path):
+    """'none'-direction flexbits (cross-conv state, flexbit-mmap.c:124)
+    route through the single global state group instead of raising, and
+    reproduce the batch general-path fold exactly."""
+    from sagan_spark.rules.compiler import compile_ruleset
+    rs = compile_ruleset("\n".join([
+        'alert syslog any any -> any any (msg:"s"; content:"stage1"; '
+        'flexbits: set,gb,259200; classtype:misc-attack; sid:31; rev:1;)',
+        'alert syslog any any -> any any (msg:"c"; content:"stage2"; '
+        'flexbits: isset,none,gb; classtype:misc-attack; sid:32; rev:1;)',
+    ]))
+    rows = gen_rows(12)
+    in_dir = str(tmp_path / "stream_none_flex")
+    _write_chunks(spark, rows, in_dir, n_chunks=3)
+    batch = _batch_result(spark, rows, rs)
+    stream = _stream_result(spark, in_dir, rs, max_files=1)
+    # both pass outcomes must occur or the ruleset isn't exercising state
+    assert set(batch["flexbit_pass"].unique()) == {True, False}
+    pd.testing.assert_frame_equal(batch, stream)
