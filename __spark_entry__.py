@@ -506,6 +506,20 @@ def _q_correlate_flexbit_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "flexbit_pass"))
 
 
+def _q_normalize_liblognorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with a VERBATIM liblognorm v1 rulebase (%field:type% samples,
+    the DSL src/liblognormalize.c:64-104 loads): auto-detected and
+    translated at load, extraction via the batched regex path."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    from sagan_spark.rules.compiler import compile_ruleset_from_dir
+    rs = compile_ruleset_from_dir(os.path.join(REPO, "rules-entry",
+                                               "normalize"))
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .select("conv_id", "turn_idx", "sid", "ip_src", "username"))
+
+
 def _q_blacklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: CIDR blacklist membership on src OR dst
     (processors/blacklist.c:244-297)."""
@@ -1471,6 +1485,22 @@ SELECT o.conv_id, o.turn_idx, COALESCE(t.tally, 0) = 1 AS flexbit_pass
 FROM ord2 o LEFT JOIN tal t ON t.rnk = o.rnk
 """
 
+# liblognorm rulebase extraction: N1 normalizes src-ip from the
+# invalid-login template (whole-message sample), N2 the username; the
+# conv fallback fills unextracted addressing (engine.c:967-1045)
+_ORACLES["normalize_liblognorm"] = f"""
+WITH t AS ({T_DUCK}),
+p AS (SELECT conv_id, turn_idx, COALESCE(text, '') AS text FROM t)
+SELECT conv_id, turn_idx, CAST(6500001 AS BIGINT) AS sid,
+       regexp_extract(text, 'from ({_IP4})', 1) AS ip_src,
+       '' AS username
+FROM p WHERE text LIKE '%Invalid login from%'
+UNION ALL
+SELECT conv_id, turn_idx, CAST(6500002 AS BIGINT), conv_id,
+       regexp_extract(text, 'user (\\S+) login failed', 1)
+FROM p WHERE text LIKE '%login failed%'
+"""
+
 # blacklist CIDRs in rules-entry/gates/blacklist.txt: 192.168.9.0/24 and
 # 192.168.57.0/24 — membership reduces to the third octet on this corpus
 _ORACLES["blacklist_gate"] = f"""
@@ -1815,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlate_xbit_pair": _q_correlate_xbit_pair,
         "correlate_flexbit_ip": _q_correlate_flexbit_ip,
         "blacklist_gate": _q_blacklist_gate,
+        "normalize_liblognorm": _q_normalize_liblognorm,
     }
 
 

@@ -212,12 +212,107 @@ _COMPILED_RULEBASE = tuple(re.compile(p, re.I)
                            for p in DEFAULT_NORMALIZE_RULEBASE)
 
 
+# liblognorm v1 field types → regex fragments (the public rulebase DSL
+# that src/liblognormalize.c:64-104 loads via ln_loadSamples; the subset
+# below covers the parser types stock Sagan rulebases use)
+_LN_TYPES = {
+    "word": r"\S+",
+    "alpha": r"[A-Za-z]+",
+    "number": r"\d+",
+    "float": r"\d+(?:\.\d+)?",
+    "hexnumber": r"0x[0-9a-fA-F]+",
+    "ipv4": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "ipv6": r"[0-9a-fA-F:]*:[0-9a-fA-F:.]+",
+    "mac48": r"[0-9a-fA-F]{2}(?:[:-][0-9a-fA-F]{2}){5}",
+    "whitespace": r"\s+",
+    "quoted-string": r'"[^"]*"',
+    "op-quoted-string": r'(?:"[^"]*"|\S+)',
+    "rest": r".*",
+}
+
+# liblognorm field names → this engine's NORMALIZE_FIELDS (the json keys
+# Normalize_Liblognorm reads, src/liblognormalize.c:154-260)
+_LN_FIELD_MAP = {
+    "src-ip": "src_ip", "dst-ip": "dst_ip",
+    "src-port": "src_port", "dst-port": "dst_port",
+    "username": "username",
+    "hash-md5": "md5", "hash-sha1": "sha1", "hash-sha256": "sha256",
+}
+
+_LN_PCT_RE = re.compile(r"%([^%:]*)(?::([^%:]+))?(?::([^%]*))?%")
+
+
+def translate_liblognorm_rule(body: str) -> str:
+    """One ``rule=`` body → an anchored named-group regex.  liblognorm's
+    ln_normalize only succeeds when a sample consumes the WHOLE message
+    (leftover bytes → unparsed-data → Sagan gets no fields), hence ^…$.
+    ``%-:type%`` discards; field names outside the Normalize_Liblognorm
+    read-set match without capturing; ``%%`` is a literal percent."""
+    out = ["^"]
+    pos = 0
+    for m in _LN_PCT_RE.finditer(body):
+        out.append(re.escape(body[pos:m.start()]))
+        pos = m.end()
+        name, typ, extra = m.group(1), m.group(2), m.group(3)
+        if name == "" and typ is None:       # '%%' literal percent
+            out.append("%")
+            continue
+        if typ is None:
+            raise ValueError(f"liblognorm field needs a type: {body!r}")
+        if typ == "char-to":
+            frag = f"[^{re.escape(extra or ':')}]+"
+        elif typ == "char-sep":
+            frag = f"[^{re.escape(extra or ':')}]*"
+        else:
+            frag = _LN_TYPES.get(typ)
+            if frag is None:
+                raise ValueError(f"unsupported liblognorm type {typ!r} "
+                                 f"in {body!r}")
+        mapped = _LN_FIELD_MAP.get(name)
+        if name == "-" or mapped is None:
+            out.append(f"(?:{frag})")
+        else:
+            out.append(f"(?P<{mapped}>{frag})")
+    out.append(re.escape(body[pos:]))
+    out.append("$")
+    return "".join(out)
+
+
+def load_liblognorm_rulebase(text: str) -> tuple[str, ...]:
+    """Verbatim liblognorm v1 ``.rulebase`` loader: ``rule=[tags]: body``
+    lines (tags ignored — Sagan doesn't use them), ``prefix=`` prepends to
+    subsequent rule bodies, comments/blank lines skipped."""
+    out = []
+    prefix = ""
+    for raw in text.splitlines():
+        s = raw.strip()
+        if not s or s.startswith("#"):
+            continue
+        ls = raw.lstrip()               # sample text is verbatim after the
+        if ls.startswith("prefix="):    # '=' — trailing spaces significant
+            prefix = ls[len("prefix="):]
+            continue
+        if ls.startswith("rule="):
+            rest = ls[len("rule="):]
+            _, _, body = rest.partition(":")
+            pattern = translate_liblognorm_rule(prefix + body)
+            re.compile(pattern, re.I)   # validate on the driver
+            out.append(pattern)
+    return tuple(out)
+
+
 def load_normalize_rulebase(text: str) -> tuple[str, ...]:
-    """File-driven rulebase (the liblognorm ``.rulebase`` analog,
-    src/liblognormalize.c:64-104 loads rulebase paths from sagan.yaml):
-    one named-group regex per line, applied in order, first match per
-    field wins.  Empty/comment lines skipped; each pattern validated at
-    load."""
+    """File-driven rulebase (src/liblognormalize.c:64-104 loads rulebase
+    paths from sagan.yaml).  Two accepted formats, auto-detected:
+
+    * verbatim liblognorm v1 ``rule=…`` DSL (%field:type% samples) — a
+      stock Sagan ``.rulebase`` file loads unchanged;
+    * one named-group regex per line (this engine's native format).
+
+    Patterns apply in order, first match per field wins.  Empty/comment
+    lines skipped; each pattern validated at load."""
+    if re.search(r"(?m)^\s*(?:rule|prefix)=", text):
+        return load_liblognorm_rulebase(text)
     out = []
     for ln in text.splitlines():
         ln = ln.strip()

@@ -307,7 +307,10 @@ def _regex_required_literal(pattern: str) -> str:
         ch = pattern[i]
         if ch == "\\":
             nxt = pattern[i + 1] if i + 1 < n else ""
-            if nxt and nxt not in "dwsbDWSBAZzG0123456789":
+            # only punctuation escapes (\. \[ \* …) are literals; any
+            # alphanumeric escape (\d \w \b \x20 \A \Z …) is a class,
+            # anchor, or code-point escape — stop the literal run there
+            if nxt and not nxt.isalnum():
                 out.append(nxt)
                 i += 2
                 continue

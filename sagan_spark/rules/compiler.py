@@ -88,8 +88,26 @@ def decode_hex_pipes(s: str) -> str:
 
 _PCRE_FLAG_MAP = {"i": re.I, "s": re.S, "m": re.M, "x": re.X}
 # PCRE constructs with no Python-re equivalent — reject at compile time
-# rather than silently diverging (SURVEY §7.3 dialect risk).
-_PCRE_UNSUPPORTED = re.compile(r"\*\+|\+\+|\?\+|\}\+|\(\?R\)|\\x\{")
+# rather than silently diverging (SURVEY §7.3 dialect risk).  Possessive
+# quantifiers (*+ ++ ?+ {m,n}+) and atomic groups (?>...) are native in
+# Python >= 3.11 re; \x{..} is translated below; only pattern recursion
+# remains untranslatable.
+_PCRE_UNSUPPORTED = re.compile(r"\(\?R\)")
+
+# PCRE \x{HH...} code-point escape → Python \xHH / \uHHHH / \UHHHHHHHH
+# (the even-backslash prefix keeps literal '\\x{' sequences untouched)
+_PCRE_XBRACE = re.compile(r"(?<!\\)((?:\\\\)*)\\x\{([0-9a-fA-F]{1,6})\}")
+
+
+def _xbrace_repl(m: re.Match) -> str:
+    cp = int(m.group(2), 16)
+    if cp <= 0xFF:
+        esc = f"\\x{cp:02x}"
+    elif cp <= 0xFFFF:
+        esc = f"\\u{cp:04x}"
+    else:
+        esc = f"\\U{cp:08x}"
+    return m.group(1) + esc
 
 
 def translate_pcre(spec: str) -> PcreSpec:
@@ -105,6 +123,7 @@ def translate_pcre(spec: str) -> PcreSpec:
     pattern, flagstr = spec[1:end], spec[end + 1:]
     if _PCRE_UNSUPPORTED.search(pattern):
         raise RuleParseError(f"unsupported PCRE construct in {pattern!r}")
+    pattern = _PCRE_XBRACE.sub(_xbrace_repl, pattern)
     flags = 0
     for ch in flagstr:
         if ch in _PCRE_FLAG_MAP:

@@ -23,7 +23,7 @@ FIXTURES = "rules-fixtures"
 
 def test_fixture_corpus_compiles():
     rs = compile_ruleset_from_dir(FIXTURES)
-    assert len(rs.rules) == 32
+    assert len(rs.rules) == 33
     sids = [r.sid for r in rs.rules]
     assert sids == sorted(sids)  # load order preserved (rules.c:199-202)
     assert rs.classifications["brute-force"] == ("Brute Force Attack", 1)
@@ -77,8 +77,13 @@ def test_pcre_translation():
     p = translate_pcre('"/file system full/i"')
     assert p.flags & re.I
     assert p.compiled().search("FILE SYSTEM FULL")
+    # possessive quantifiers / atomic groups / \x{..} now translate
+    # (native in Python >= 3.11 re); only pattern recursion is rejected
+    p2 = translate_pcre('"/user\\x{20}(?>\\w++) login/"')
+    assert p2.compiled().search("user mary login failed")
+    assert not p2.compiled().search("user  login failed")
     with pytest.raises(RuleParseError):
-        translate_pcre('"/bad*+possessive/"')  # unsupported dialect
+        translate_pcre('"/recur(?R)sive/"')
 
 
 def test_meta_content_var_expansion():

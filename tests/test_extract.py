@@ -97,3 +97,48 @@ def test_blacklist_hit():
     assert blacklist_hit("198.51.100.7", ranges)
     assert not blacklist_hit("198.51.100.8", ranges)
     assert not blacklist_hit("conv-00000001", ranges)  # host fallback, not IP
+
+
+def test_liblognorm_rulebase_translation():
+    """Verbatim liblognorm v1 DSL loads unchanged: %field:type% samples
+    translate to anchored named-group regexes with the
+    Normalize_Liblognorm field mapping (liblognormalize.c:154-260)."""
+    from sagan_spark.extract import load_normalize_rulebase, normalize_message
+    rb = "\n".join([
+        "# stock Sagan-style rulebase",
+        "rule=:%-:word% login from %src-ip:ipv4% port %src-port:number%"
+        " user %username:word%",
+        "rule=login:quarantine %hash-md5:word% at %-:rest%",
+        "prefix=%-:word%: ",
+        "rule=:connect to %dst-ip:ipv4%:%dst-port:number% %-:rest%",
+    ])
+    pats = load_normalize_rulebase(rb)
+    assert len(pats) == 3 and all(p.startswith("^") for p in pats)
+    got = normalize_message(
+        "sshd login from 10.1.2.3 port 2222 user root", pats)
+    assert got == {"src_ip": "10.1.2.3", "src_port": "2222",
+                   "username": "root"}
+    got = normalize_message(
+        "quarantine 0123456789abcdef0123456789abcdef at /tmp x", pats)
+    assert got == {"md5": "0123456789abcdef0123456789abcdef"}
+    # prefix= applies to the rules after it
+    got = normalize_message("kernel: connect to 10.9.9.9:443 ok", pats)
+    assert got == {"dst_ip": "10.9.9.9", "dst_port": "443"}
+    # whole-message consumption (ln_normalize leftover → no fields)
+    assert normalize_message(
+        "sshd login from 10.1.2.3 port 2222 user root EXTRA", pats) == {}
+
+
+def test_liblognorm_char_to_and_literal_percent():
+    from sagan_spark.extract import load_normalize_rulebase, normalize_message
+    rb = ("rule=:cpu at 99%% user=%username:char-to:,%, done %-:rest%")
+    pats = load_normalize_rulebase(rb)
+    got = normalize_message("cpu at 99% user=alice, done now", pats)
+    assert got == {"username": "alice"}
+
+
+def test_liblognorm_unsupported_type_raises():
+    import pytest
+    from sagan_spark.extract import load_normalize_rulebase
+    with pytest.raises(ValueError):
+        load_normalize_rulebase("rule=: %f:no-such-type%")
