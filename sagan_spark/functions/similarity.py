@@ -42,13 +42,26 @@ def with_cosine(df: DataFrame, a_col: str, b_col: str,
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     max_queries: int = 10000) -> DataFrame:
     """For each query row (query_id, embedding) return its k nearest
     neighbors by cosine (excluding self-id), deterministic tie-break on
     (cosine desc, neighbor id asc).
 
     Plan shape: broadcast(queries) ⋈ vectors (no shuffle of the big side)
-    → per-pair cosine in codegen → window top-k keyed by query_id."""
+    → per-pair cosine in codegen → window top-k keyed by query_id.
+
+    This is the EXACT baseline: |V|×|Q| scored pairs.  A large queries
+    frame would silently turn it into an all-pairs scan nobody asked
+    for, so |Q| is checked against ``max_queries`` up front — use
+    lsh_ann_topk / ivf_topk for bulk query sets."""
+    nq = queries.count()
+    if nq > max_queries:
+        raise ValueError(
+            f"brute_force_topk got {nq} queries (> {max_queries}); the "
+            "broadcast nested-loop is the exact small-Q baseline — use "
+            "lsh_ann_topk or ivf_topk for bulk query sets, or raise "
+            "max_queries explicitly")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_emb"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
