@@ -474,6 +474,42 @@ def _q_geoip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("conv_id", "turn_idx", "ip_src"))
 
 
+def _q_match_facility_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 + last-present-gate-wins quirk (engine.c:401-485): G5 carries
+    both program: and facility:; only the facility set gates (role in
+    user|tool), the program glob is ignored."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid") == 6200005)
+            .select("conv_id", "turn_idx", "role"))
+
+
+def _q_match_level_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 syslog_level gate (engine.c:441-455) over the role column."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid") == 6200006)
+            .select("conv_id", "turn_idx", "role"))
+
+
+def _q_match_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 content negation (rules.c '!' modifier): positive substring
+    present AND negated substring absent."""
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _gates_ruleset()
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    return (run_match(parsed, rs)
+            .filter(F.col("sid") == 6200007)
+            .select("conv_id", "turn_idx", "text"))
+
+
 def _q_correlate_after_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on extracted-IP keys (after.c:108-110): the staged general
     path's after fold, keyed by parse_src_ip addresses that recur across
@@ -834,6 +870,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     q = emb.filter(F.col("vec_id") < 5)
     return lsh_ann_topk(emb, q, k=5)
+
+
+def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-banded candidate self-join +
+    exact cosine >= 0.30 verify (the corpus is near-random, max pairwise
+    cosine ~0.38, so 0.30 marks its top 'near-duplicate' tail)."""
+    from sagan_spark.functions.similarity import cosine_dup_pairs
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return cosine_dup_pairs(emb, threshold=0.30)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,6 +1405,51 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
 
 _ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
+
+def _cosine_dup_oracle(n_bands: int = 8, band_bits: int = 4, dim: int = 64,
+                       threshold: float = 0.30) -> str:
+    """Exact reconstruction of cosine_dup_pairs: identical sin-based
+    hyperplanes inlined as double literals; candidates = id pairs sharing
+    a band bucket; verify on the 6-digit-rounded cosine (same rounding
+    point as the Spark side, so the threshold cut is bit-identical)."""
+    from sagan_spark.functions.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_bands * band_bits)
+
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket_expr(b):
+        terms = []
+        for i in range(band_bits):
+            bit = (f"(CASE WHEN list_dot_product(emb, "
+                   f"{arr(planes[b * band_bits + i])}) >= 0 "
+                   f"THEN 1 ELSE 0 END)")
+            terms.append(f"{bit} * {2 ** (band_bits - 1 - i)}")
+        return " + ".join(terms)
+
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM v"
+        for b in range(n_bands))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+vb AS ({band_sel}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM vb a JOIN vb b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.vec_id < b.vec_id),
+scored AS (SELECT c.id_a, c.id_b,
+      ROUND(list_dot_product(x.emb, y.emb) /
+            (SQRT(list_dot_product(x.emb, x.emb)) *
+             SQRT(list_dot_product(y.emb, y.emb))), 6) AS cosine
+  FROM cand c
+  JOIN v x ON x.vec_id = c.id_a
+  JOIN v y ON y.vec_id = c.id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+_ORACLES["cosine_dup"] = _cosine_dup_oracle()
+
 # flexbit pair: window MAX of the last set-event epoch re-derives the
 # store's liveness (entries update expiry on every set; no unsets here)
 _FLEX_M = f"""
@@ -1521,6 +1613,26 @@ FROM p WHERE text LIKE '%Invalid login from%'
 UNION ALL
 SELECT conv_id, turn_idx, CAST(6200003 AS BIGINT), conv_id
 FROM p WHERE text LIKE '%marker%' AND lower(text) LIKE '%cmd=alpha%'
+"""
+
+_ORACLES["match_facility_quirk"] = f"""
+WITH t AS ({T_DUCK})
+SELECT conv_id, turn_idx, role FROM t
+WHERE COALESCE(text, '') LIKE '%from%'
+  AND role = 'assistant'   -- program glob ignored: last gate wins
+"""
+
+_ORACLES["match_level_gate"] = f"""
+WITH t AS ({T_DUCK})
+SELECT conv_id, turn_idx, role FROM t
+WHERE COALESCE(text, '') LIKE '%from%' AND role = 'user'
+"""
+
+_ORACLES["match_negation"] = f"""
+WITH t AS ({T_DUCK})
+SELECT conv_id, turn_idx, text FROM t
+WHERE COALESCE(text, '') LIKE '%probe attempt%'
+  AND COALESCE(text, '') NOT LIKE '%seq=3%'
 """
 
 _ORACLES["geoip_gate"] = f"""
@@ -1819,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "simhash64": _q_simhash64,
         "ann_lsh": _q_ann_lsh,
+        "cosine_dup": _q_cosine_dup,
         "media_features": _q_media_features,
         "eve_render": _q_eve_render,
         # round-2 operator surface
@@ -1845,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlate_xbit_pair": _q_correlate_xbit_pair,
         "correlate_flexbit_ip": _q_correlate_flexbit_ip,
         "blacklist_gate": _q_blacklist_gate,
+        "match_facility_quirk": _q_match_facility_quirk,
+        "match_level_gate": _q_match_level_gate,
+        "match_negation": _q_match_negation,
         "normalize_liblognorm": _q_normalize_liblognorm,
     }
 

@@ -74,10 +74,11 @@ def main() -> int:
         "pipeline_turns_per_sec": turns_per_sec,
         "cpus": cpus,
         "note": "sf0.1 walls are Spark session/stage fixed-cost dominated "
-                "at 100k turns; the representative throughput is the "
-                "67.2M-turn executor-model run in BENCH/BASELINE.md "
-                "(309k turns/s at 1x4-core executor, 965k at 4 executors, "
-                "scaling efficiency 0.829)",
+                "at 100k turns; the representative throughput and the "
+                "median-of-reps scaling efficiency (plus the co-location "
+                "control decomposing shared-box hardware contention from "
+                "engine scaling) are the 67.2M-turn executor-model runs "
+                "recorded in BENCH/BASELINE.md",
     }))
     return 0
 

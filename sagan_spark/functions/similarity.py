@@ -13,6 +13,8 @@
   (first C vectors as seeds, one Lloyd iteration via DataFrame ops),
   probe the nearest ``nprobe`` cells.  Approximate; recall tested vs brute
   force in pytest.
+* **cosine_dup_pairs** — embedding-cosine near-duplicate pairs for the
+  dedup family: LSH-banded candidate self-join + exact-cosine verify.
 """
 
 from __future__ import annotations
@@ -123,6 +125,53 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     dim: int = 64, n_bands: int = 8,
+                     band_bits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family sibling of
+    lsh_ann_topk): candidates are id pairs sharing >= 1 random-hyperplane
+    band bucket — a bucketed SELF-join, never an all-pairs product — then
+    exact-cosine verified against ``threshold``.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+
+    Scale shape: the join key (band, bucket) spreads uniformly for
+    non-duplicate vectors, so shuffle volume is O(|V| * n_bands) plus
+    the candidate set; a degenerate bucket (all-same vectors) is the
+    data's own duplication, which is the thing being measured."""
+    planes = _hyperplanes(dim, n_bands * band_bits)
+
+    def band_cols(emb):
+        cols = []
+        for b in range(n_bands):
+            bits = None
+            for i in range(band_bits):
+                p = planes[b * band_bits + i]
+                arr = F.array(*[F.lit(x) for x in p])
+                bit = F.when(_dot(emb, arr) >= 0, 1).otherwise(0)
+                bits = bit if bits is None else bits * 2 + bit
+            cols.append(F.struct(F.lit(b).alias("band"),
+                                 bits.alias("bucket")))
+        return F.array(*cols)
+
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       F.col(vec_col).alias("emb"),
+                       F.explode(band_cols(F.col(vec_col))).alias("bb")
+                       ).select("vid", "emb", "bb.band", "bb.bucket")
+    a = v.select(F.col("vid").alias("id_a"), F.col("emb").alias("a_emb"),
+                 "band", "bucket")
+    b = v.select(F.col("vid").alias("id_b"), F.col("emb").alias("b_emb"),
+                 "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "a_emb", "id_b", "b_emb")
+            .distinct())
+    return (with_cosine(cand, "a_emb", "b_emb")
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,

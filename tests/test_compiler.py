@@ -253,3 +253,23 @@ def test_regex_required_literal():
     assert lit(r"a{0,2}bcd") == ""          # counted char dropped
     assert lit(r"(file system full|no space)") == ""
     assert lit(r"\d+ failures") == ""       # class shorthand leads
+
+
+def test_last_present_gate_wins_quirk():
+    """engine.c:401-485: when several gate keywords are present on one
+    rule, only the last-parsed gate applies (program < facility < level <
+    tag < syspri in _RuleProgram's evaluation order)."""
+    from sagan_spark.match import _RuleProgram
+    rs = compile_ruleset(
+        'alert syslog any any -> any any (msg:"q"; program: click*; '
+        'facility: user|tool; content:"x"; classtype:misc-attack; '
+        'sid:1; rev:1;)')
+    prog = _RuleProgram(0, rs.rules[0])
+    assert prog.gate == ("role_in", frozenset({"user", "tool"}))
+
+    rs2 = compile_ruleset(
+        'alert syslog any any -> any any (msg:"q"; facility: user; '
+        'syslog_level: system; content:"x"; classtype:misc-attack; '
+        'sid:2; rev:1;)')
+    prog2 = _RuleProgram(0, rs2.rules[0])
+    assert prog2.gate == ("role_in", frozenset({"system"}))

@@ -144,6 +144,31 @@ def test_lsh_ann_recall(vecs):
     assert recall >= 0.6  # approximate path; recall floor
 
 
+def test_cosine_dup_pairs_subset_of_bruteforce(vecs):
+    """cosine_dup_pairs: every emitted pair is a true >=threshold pair
+    (verify is exact), normalized id_a < id_b, and recall vs the full
+    all-pairs truth clears the LSH floor."""
+    import numpy as np
+    from sagan_spark.functions.similarity import cosine_dup_pairs
+    got = cosine_dup_pairs(vecs, threshold=0.9, dim=16).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vecs.collect()}
+    truth = set()
+    for i in data:
+        for j in data:
+            if i < j:
+                c = round(float(np.dot(data[i], data[j]) /
+                                (np.linalg.norm(data[i]) *
+                                 np.linalg.norm(data[j]))), 6)
+                if c >= 0.9:
+                    truth.add((i, j))
+    mine = {(r["id_a"], r["id_b"]) for r in got}
+    assert all(a < b for a, b in mine)
+    assert mine <= truth                  # no false positives, ever
+    assert truth                          # fixture has real near-dups
+    assert len(mine) / len(truth) >= 0.6  # banding recall floor
+
+
 def test_ivf_topk_runs(vecs):
     from sagan_spark.functions.similarity import brute_force_topk, ivf_topk
     queries = vecs.filter(F.col("vec_id") < 3)
