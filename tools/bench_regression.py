@@ -49,7 +49,7 @@ m.queries()["pipeline_alerts"](spark, sf_dir).count()   # full warm pass
 walls = []
 for _ in range(int(sys.argv[3])):
     spark.catalog.clearCache()
-    m._PIPE_CACHE.clear()
+    getattr(m, "_PIPE_CACHE", {}).clear()
     t0 = time.time()
     n = m.queries()["pipeline_alerts"](spark, sf_dir).count()
     walls.append(round(time.time() - t0, 3))
@@ -73,7 +73,7 @@ spark.range(1000).count()
 rs = m._ruleset()
 out = {}
 def clock(name, thunk):
-    spark.catalog.clearCache(); m._PIPE_CACHE.clear()
+    spark.catalog.clearCache(); getattr(m, "_PIPE_CACHE", {}).clear()
     t0 = time.time(); thunk(); out[name] = round(time.time() - t0, 3)
 t = m._transcripts(spark, sf_dir)
 clock("parse", lambda: parse_transcripts(t).count())
@@ -84,7 +84,6 @@ clock("parse_match_correlate",
       lambda: run_correlate(run_match(kept, rs), rs).count())
 clock("full_pipeline_alerts",
       lambda: m.queries()["pipeline_alerts"](spark, sf_dir).count())
-# warm pass exists above each? no — each clock is cold-cache by design
 print(json.dumps(out))
 """
 
