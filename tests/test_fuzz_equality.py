@@ -41,6 +41,13 @@ def _rule(draw):
                     f'{draw(st.sampled_from(_WORDS[:6]))}')
     if draw(st.booleans()):
         body.append(f'program: {draw(st.sampled_from(("sshd", "ngin*", "nomatch")))}')
+    if draw(st.booleans()):
+        # facility/level after program exercises the last-present-
+        # gate-wins quirk (engine.c:401-485) across the full pipeline
+        key = draw(st.sampled_from(("facility", "syslog_level")))
+        vals = draw(st.sampled_from(("user", "assistant", "user|tool",
+                                     "system")))
+        body.append(f'{key}: {vals}')
     corr = draw(st.sampled_from(
         ("none", "after", "threshold", "xbit", "flexbit")))
     second = None
@@ -82,7 +89,8 @@ def _rows(draw):
     for i in range(n):
         conv = f"c{draw(st.integers(0, 2))}"
         rows.append({
-            "conv_id": conv, "turn_idx": i, "role": "user",
+            "conv_id": conv, "turn_idx": i,
+            "role": draw(st.sampled_from(("user", "assistant", "tool"))),
             "text": draw(_texts), "tool": "sshd",
             "ts": datetime.fromtimestamp(
                 T0 + draw(st.integers(0, 400)), tz=timezone.utc)})

@@ -399,3 +399,23 @@ def test_geoip_is_isnot_and_skip():
                    ev("c1", 1, "from 203.0.113.9", T0 + 1),  # US → blocked
                    ev("c1", 2, "from 192.168.1.1", T0 + 2)])  # SKIP → blocked
     assert [a["turn_idx"] for a in out2["alerts"]] == [0]
+
+
+def test_driver_contract_parity():
+    """The driver's correctness gate hashes every queries() entry against
+    its oracle_sql(); a key present on one side only silently downgrades
+    that operator's check.  Guard the contract shape itself: exact key
+    parity, and every bench.py headline query must be a queries() entry."""
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "entry_contract", os.path.join(root, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q, o = set(m.queries()), set(m.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
+    headline = {"pipeline_alerts", "correlate_after", "correlate_flexbit",
+                "dedup_exact", "minhash_lsh", "text_fingerprint",
+                "token_count", "quality", "lang_id", "knn_brute"}
+    assert headline <= q
