@@ -140,6 +140,9 @@ def main() -> int:
             "steal_N_pct": steal_pct(s0, s1),
             "steal_4N_pct": steal_pct(s1, s2),
             "cores_per_executor": E, "shards": args.shards,
+            "commit": subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True).stdout.strip(),
         }
         if args.coloc:
             # co-location control: same solo job x shards, concurrent,
