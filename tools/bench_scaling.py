@@ -252,6 +252,13 @@ reported above — nothing is substituted.
     tail = ""
     if os.path.exists(md):
         old = open(md).read()
+        # drop the previous run's own coloc section so reruns don't stack
+        # duplicates (hand-written sections are preserved untouched)
+        ch = "\n## Co-location control: hardware co-tenancy vs engine scaling\n"
+        j = old.find(ch)
+        if j != -1:
+            nxt = old.find("\n## ", j + 1)
+            old = old[:j] + (old[nxt:] if nxt != -1 else "")
         k = old.find("\n## ")
         if k != -1:
             tail = old[k:]
