@@ -48,7 +48,10 @@ def main() -> int:
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):           # Spark-written parquet directory
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, os_ = E.queries(), E.oracle_sql()
