@@ -845,7 +845,7 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                'application/x-fake' AS mime,
                CAST(32 + doc_id % 8 AS INT) AS width,
                CAST(24 + doc_id % 6 AS INT) AS height,
-               CAST(1000 + doc_id * 10 AS INT) AS duration_ms
+               CAST(1000 + (doc_id % 1000) * 10 AS INT) AS duration_ms
         FROM documents""")
 
 
@@ -1300,7 +1300,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
 
 _ORACLES["media_frames"] = f"""
 WITH m AS (SELECT doc_id AS media_id,
-                  CAST(1000 + doc_id * 10 AS INT) AS duration_ms,
+                  CAST(1000 + (doc_id % 1000) * 10 AS INT) AS duration_ms,
                   CAST(text AS BLOB) AS b
            FROM documents WHERE doc_id % 3 = 2),
 f AS (SELECT media_id,
@@ -1869,7 +1869,7 @@ SELECT doc_id AS media_id, {_MEDIA_KIND} AS kind,
        'application/x-fake' AS mime,
        CAST(32 + doc_id % 8 AS INT) AS width,
        CAST(24 + doc_id % 6 AS INT) AS height,
-       CAST(1000 + doc_id * 10 AS INT) AS duration_ms,
+       CAST(1000 + (doc_id % 1000) * 10 AS INT) AS duration_ms,
        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
 FROM documents
 """

@@ -89,10 +89,17 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
         fn, schema=schema)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
+def sample_frames(df: DataFrame, every_ms: int = 500,
+                  max_frames_per_row: int = 100_000) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame timestamp —
     mapInPandas with 1→N expansion, no shuffle.  Frame decode is the same
-    deterministic fake."""
+    deterministic fake.
+
+    ``max_frames_per_row`` bounds the per-row expansion (default 100k ≈
+    a 14-hour video at 2 fps): a single corrupt/absurd duration value
+    must degrade to a truncated sample, never an executor-OOM-ing
+    multi-million-row fan-out (found the hard way when a 10× id fan-out
+    pushed synthetic durations to ~10^8 ms)."""
     schema = "media_id long, frame_ms int, frame_feature double"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,6 +107,7 @@ def sample_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
             ids, ms, fv = [], [], []
             for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"],
                                          pdf["payload"]):
+                dur = min(int(dur), every_ms * max_frames_per_row)
                 for t in range(0, int(dur), every_ms):
                     ids.append(mid)
                     ms.append(t)
