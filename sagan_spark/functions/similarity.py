@@ -130,7 +130,7 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      dim: int = 64, n_bands: int = 8,
-                     band_bits: int = 4) -> DataFrame:
+                     band_bits: int | None = 4) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the dedup-family sibling of
     lsh_ann_topk): candidates are id pairs sharing >= 1 random-hyperplane
     band bucket — a bucketed SELF-join, never an all-pairs product — then
@@ -138,10 +138,19 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
 
-    Scale shape: the join key (band, bucket) spreads uniformly for
-    non-duplicate vectors, so shuffle volume is O(|V| * n_bands) plus
-    the candidate set; a degenerate bucket (all-same vectors) is the
-    data's own duplication, which is the thing being measured."""
+    Scale shape: random (non-duplicate) vectors spread uniformly over
+    2**band_bits buckets per band, so the candidate set is
+    ~ n_bands * |V|**2 / 2**(band_bits+1) pairs PLUS the true duplicate
+    clusters.  ``band_bits`` must therefore grow with |V| — about
+    log2(|V|)/2 keeps the random-collision load ~ n_bands*|V|/2 — and
+    the 4-bit default only suits corpora up to ~50k vectors.  Pass
+    ``band_bits=None`` to derive it from a count of ``vectors`` (one
+    extra action; wider bands trade recall for candidate volume).  A
+    degenerate bucket of true duplicates is the data's own duplication,
+    which is the thing being measured."""
+    if band_bits is None:
+        n = vectors.count()
+        band_bits = max(2, int(math.log2(max(n, 4)) / 2))
     planes = _hyperplanes(dim, n_bands * band_bits)
 
     def band_cols(emb):
