@@ -570,15 +570,18 @@ def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
     if has_flex:
         import numpy as np
 
-        flex_sids = [r.sid for r in ruleset.rules if r.flexbits]
         fgroups = flexbit_groups(ruleset)
+        # membership by rule_idx (the same key _fg maps), NOT sid: a sid
+        # shared between a flexbit and a non-flexbit rule would pass a
+        # sid filter with a null _fg and crash run_flex's int(g)
+        flex_idx = list(fgroups)
         # partition the flexbit fold by name-group (flexbit_groups): state
         # never crosses a flexbit name, so each group folds independently —
         # serial work is bounded by the largest coupled group (ONLY a
         # `count` clause couples globally), not the whole flexbit row set
         gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
                               for x in (i, g)])
-        keyed = (df.filter(F.col("sid").isin(flex_sids))
+        keyed = (df.filter(F.col("rule_idx").isin(flex_idx))
                    .withColumn("_fg", gmap[F.col("rule_idx")])
                    .repartition(F.col("_fg"))
                    .sortWithinPartitions("_fg", *_SORT))
@@ -603,7 +606,7 @@ def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
 
         folded = _track(keyed.mapInPandas(run_flex, schema=CORR_SCHEMA)
                         .persist(StorageLevel.MEMORY_AND_DISK))
-        df = df.filter(~F.col("sid").isin(flex_sids)).unionByName(folded)
+        df = df.filter(~F.col("rule_idx").isin(flex_idx)).unionByName(folded)
 
     if has_after:
         keyed = df.filter(F.col("after_key").isNotNull())

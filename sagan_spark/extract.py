@@ -294,7 +294,15 @@ def load_liblognorm_rulebase(text: str) -> tuple[str, ...]:
             continue
         if ls.startswith("rule="):
             rest = ls[len("rule="):]
-            _, _, body = rest.partition(":")
+            tags, sep, body = rest.partition(":")
+            if not sep or "%" in tags:
+                # the tag section of 'rule=[tags]:body' can never contain
+                # '%'; a missing tag colon (e.g. 'rule=%f:t%…') would
+                # otherwise silently truncate the body (the partition eats
+                # everything up to the colon INSIDE the field spec) — fail
+                # fast like the unsupported-type path does
+                raise ValueError(
+                    f"rule= line missing the tag colon: {raw!r}")
             pattern = translate_liblognorm_rule(prefix + body)
             re.compile(pattern, re.I)   # validate on the driver
             out.append(pattern)

@@ -127,6 +127,16 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def derive_band_bits(n: int) -> int:
+    """Scale-adaptive band width for cosine_dup_pairs: random-collision
+    candidates grow ~ n_bands * n**2 / 2**(band_bits+1), so band_bits
+    must grow ~ log2(n)/2 to keep that load ~ n_bands * n / 2 (linear in
+    the corpus).  ceil, never floor — under-provisioned bands are the
+    quadratic failure mode; over-provisioned ones only cost recall at
+    the margin."""
+    return max(2, math.ceil(math.log2(max(n, 4)) / 2))
+
+
 def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      dim: int = 64, n_bands: int = 8,
@@ -149,8 +159,7 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
     degenerate bucket of true duplicates is the data's own duplication,
     which is the thing being measured."""
     if band_bits is None:
-        n = vectors.count()
-        band_bits = max(2, int(math.log2(max(n, 4)) / 2))
+        band_bits = derive_band_bits(vectors.count())
     planes = _hyperplanes(dim, n_bands * band_bits)
 
     def band_cols(emb):

@@ -25,10 +25,26 @@ arrival-order semantics per micro-batch by sorting each group's rows on
 sequence reproduces the batch result (tested in
 tests/test_streaming.py).
 
-Requires conv-derived correlation keys — IP-extracted keys would need a
-second keyed stage; rejected at plan time like the batch fast path's
-precondition.  Rulesets whose only cross-conv state is 'none'-direction
-flexbit sharing run in a single global state group instead.
+Key routing mirrors the batch engine's two paths:
+
+* conv-derived keys (fast path) → one applyInPandasWithState keyed by
+  conv_id running the unified engine-order fold;
+* IP-extracted keys (the reference's primary deployment mode) → the
+  STAGED-GENERAL streaming path: outside the fast path the validator
+  rejects cross-clause rules, so every matched row touches exactly ONE
+  store and carries a single composite state key ("x"+xbit_key,
+  "f"+flexbit name-group, or "a"+sid+track-value); one
+  applyInPandasWithState keyed by that composite dispatches the per-kind
+  fold — the streaming analog of the batch path's per-stage _run_stage
+  shuffles.  Stateless rows bypass state entirely (filter + union).
+
+Event-time bound (the one the pruner assumes): store eviction is exact
+while event-time disorder stays within ONE horizon (the largest rule
+window) of the max epoch each state group has ever seen — the max is
+persisted in the GroupState, so the bound spans micro-batches.  A source
+backfilling OLDER than that may consult already-pruned entries; such rows
+are counted in the ``late_rows`` accumulator (streaming_alerts attaches
+one; see its docstring) so silent state loss is observable.
 """
 
 from __future__ import annotations
@@ -42,11 +58,18 @@ from .correlate import (
     CORR_SCHEMA,
     CorrState,
     FlexStore,
+    _SORT,
+    _after_update,
+    _thresh_update,
+    _xbit_apply,
+    _xbit_condition,
     apply_fold_to_batches,
     conv_keyed_only,
+    flexbit_groups,
     unified_fold,
     validate_ruleset_for_spark,
 )
+from .semantics import flexbit_gate
 from .datagen import TRANSCRIPTS_SCHEMA
 from .match import MATCH_SCHEMA, build_matcher, candidate_filter
 from .parse import parse_transcripts, split_ignored
@@ -56,23 +79,24 @@ from .rules.compiler import RuleSet
 STATE_SCHEMA = "state string"
 
 
-def _encode_state(st: CorrState) -> str:
+def _encode_state(st: CorrState, max_epoch: int = 0) -> str:
     return json.dumps({
         "a": [[list(k), v] for k, v in st.after.items()],
         "t": [[list(k), v] for k, v in st.thresh.items()],
         "x": [[list(k), v] for k, v in st.xbit.items()],
         "f": st.flex.dump(),
+        "m": max_epoch,   # max event epoch ever seen (pruner anchor)
     })
 
 
-def _decode_state(blob: str) -> CorrState:
+def _decode_state(blob: str) -> tuple[CorrState, int]:
     d = json.loads(blob)
     st = CorrState()
     st.after = {tuple(k): v for k, v in d.get("a", [])}
     st.thresh = {tuple(k): v for k, v in d.get("t", [])}
     st.xbit = {tuple(k): v for k, v in d.get("x", [])}
     st.flex = FlexStore.load(d.get("f", []))
-    return st
+    return st, int(d.get("m", 0))
 
 
 def default_state_timeout_ms(ruleset: RuleSet) -> int:
@@ -130,22 +154,27 @@ def _make_pruner(ruleset: RuleSet):
     return prune
 
 
-def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0):
+def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
+                         late_rows=None):
     """applyInPandasWithState function: per group (conv_id, or the single
     global group for 'none'-flexbit rulesets), fold the micro-batch's
     rows (sorted deterministically) through the same unified engine-order
     fold as batch, persisting the stores in the GroupState across
     micro-batches.  Store entries are evicted by EVENT time via
-    _make_pruner on every invocation."""
+    _make_pruner on every invocation, anchored to the max epoch the group
+    has EVER seen (persisted in the state blob) — rows older than one
+    horizon behind that anchor may consult already-pruned entries and are
+    tallied into the ``late_rows`` accumulator."""
     fold = unified_fold(ruleset)
     prune = _make_pruner(ruleset)
+    horizon = default_state_timeout_ms(ruleset) // 2000
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        st = _decode_state(state.get[0]) if state.exists else CorrState()
-        max_epoch = 0
+        st, max_epoch = (_decode_state(state.get[0]) if state.exists
+                         else (CorrState(), 0))
 
         def batches():
             nonlocal max_epoch
@@ -153,6 +182,11 @@ def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0):
                 if "_grp" in pdf.columns:
                     pdf = pdf.drop(columns=["_grp"])
                 if len(pdf):
+                    if late_rows is not None and max_epoch:
+                        late = int((pdf["epoch"] <
+                                    max_epoch - horizon).sum())
+                        if late:
+                            late_rows.add(late)
                     max_epoch = max(max_epoch, int(pdf["epoch"].max()))
                 yield (pdf.sort_values(["epoch", "conv_id", "turn_idx",
                                         "rule_idx"])
@@ -161,7 +195,153 @@ def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0):
         yield from apply_fold_to_batches(fold, st, batches())
         if max_epoch:
             prune(st, max_epoch)
-        state.update((_encode_state(st),))
+        state.update((_encode_state(st, max_epoch),))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# staged-general streaming path (IP-extracted keys, SURVEY §2.9 on the
+# reference's primary deployment mode)
+# ---------------------------------------------------------------------------
+
+_GSEP = "\x1f"
+
+
+def _validate_general_streaming(ruleset: RuleSet) -> None:
+    """The composite-key correlator needs one state key per row; a rule
+    carrying after AND threshold with different track sets would need two
+    keyed stages (only the batch general path has them)."""
+    for r in ruleset.rules:
+        if r.after and r.threshold and r.after.tracks != r.threshold.tracks:
+            raise ValueError(
+                f"sid {r.sid}: after and threshold with different tracks "
+                "on IP-extracted keys need two keyed stages — batch-only")
+
+
+def _general_group_key_col(ruleset: RuleSet):
+    """Per-row composite state-group key (column expr).  Outside the
+    conv-keyed fast path the validator rejects cross-clause rules, so a
+    row touches exactly one store:
+
+      x<SEP>xbit_key          — xbit store keyed (name, track value); the
+                                streaming analog of batch
+                                _run_stage(["xbit_key"]) partitioning
+      f<SEP>name-group        — flexbit fold, name-group-parallel exactly
+                                like the batch stage (flexbit_groups)
+      a<SEP>sid<SEP>track-key — after/threshold state (after.c:113-117 /
+                                threshold.c:118-121 key by sid + track)
+
+    NULL for stateless rows (routed around the state store entirely)."""
+    from pyspark.sql import functions as F
+
+    fgroups = flexbit_groups(ruleset)
+    expr = F.when(F.col("xbit_key").isNotNull(),
+                  F.concat_ws(_GSEP, F.lit("x"), F.col("xbit_key")))
+    if fgroups:
+        gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
+                              for x in (i, g)])
+        expr = expr.when(F.col("rule_idx").isin(list(fgroups)),
+                         F.concat_ws(_GSEP, F.lit("f"),
+                                     gmap[F.col("rule_idx")]))
+    expr = expr.when(
+        F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
+        F.concat_ws(_GSEP, F.lit("a"), F.col("sid").cast("string"),
+                    F.coalesce(F.col("after_key"), F.col("thresh_key"))))
+    return expr
+
+
+def _general_fold(ruleset: RuleSet):
+    """Fold one state group's rows (already sorted) through the store its
+    kind owns — the same per-key state machines the batch stages run
+    (_after_update / _thresh_update / _xbit_* / FlexStore)."""
+    def fold(pdf: pd.DataFrame, st: CorrState, kind: str):
+        n = len(pdf)
+        sup_a = [False] * n
+        sup_t = [False] * n
+        xp = [True] * n
+        fp = [True] * n
+        ridxs = pdf["rule_idx"].tolist()
+        epochs = pdf["epoch"].tolist()
+        if kind == "a":
+            for i, (sid, rev, ak, tk, t, ridx) in enumerate(zip(
+                    pdf["sid"].tolist(), pdf["rev"].tolist(),
+                    pdf["after_key"].tolist(), pdf["thresh_key"].tolist(),
+                    epochs, ridxs)):
+                r = ruleset.rules[ridx]
+                if ak is not None and r.after:
+                    sup_a[i] = _after_update(r.after, st.after,
+                                             (sid, rev, ak), t)
+                # after-suppressed rows never reach the threshold counter
+                # (engine.c:1528)
+                if tk is not None and r.threshold and not sup_a[i]:
+                    sup_t[i] = _thresh_update(r.threshold, st.thresh,
+                                              (sid, tk), t)
+        elif kind == "x":
+            for i, (t, ridx, src, dst) in enumerate(zip(
+                    epochs, ridxs, pdf["ip_src"].tolist(),
+                    pdf["ip_dst"].tolist())):
+                rule = ruleset.rules[ridx]
+                passed = _xbit_condition(rule, st.xbit, src, dst, t)
+                if passed:
+                    _xbit_apply(rule, st.xbit, src, dst, t)
+                xp[i] = passed
+        else:   # "f"
+            for i, (t, ridx, src, dst, sport, dport) in enumerate(zip(
+                    epochs, ridxs, pdf["ip_src"].tolist(),
+                    pdf["ip_dst"].tolist(), pdf["src_port"].tolist(),
+                    pdf["dst_port"].tolist())):
+                rule = ruleset.rules[ridx]
+                cond_ret = st.flex.condition(rule, src, dst, sport,
+                                             dport, t)
+                count_ret = st.flex.count_check(rule, src, dst)
+                ok = flexbit_gate(rule, cond_ret, count_ret)
+                if ok:
+                    st.flex.apply_sets(rule, src, dst, sport, dport, t)
+                fp[i] = ok
+        return sup_a, sup_t, xp, fp
+    return fold
+
+
+def _general_stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
+                                 late_rows=None):
+    """applyInPandasWithState function for composite state-group keys.
+    One micro-batch's group rows are concatenated and sorted ONCE (a
+    group is one state key — one IP / one name-group — so the per-batch
+    row set is small and the global sort keeps cross-chunk order exact),
+    then folded with the store persisted in the GroupState."""
+    fold = _general_fold(ruleset)
+    prune = _make_pruner(ruleset)
+    horizon = default_state_timeout_ms(ruleset) // 2000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st, max_epoch = (_decode_state(state.get[0]) if state.exists
+                         else (CorrState(), 0))
+        kind = key[0].split(_GSEP, 1)[0]
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .drop(columns=["_gkey"])
+                   .sort_values(_SORT).reset_index(drop=True))
+            if late_rows is not None and max_epoch:
+                late = int((pdf["epoch"] < max_epoch - horizon).sum())
+                if late:
+                    late_rows.add(late)
+            max_epoch = max(max_epoch, int(pdf["epoch"].max()))
+            sup_a, sup_t, xp, fp = fold(pdf, st, kind)
+            pdf["suppress_after"] = pd.Series(sup_a, dtype=bool)
+            pdf["suppress_thresh"] = pd.Series(sup_t, dtype=bool)
+            pdf["xbit_pass"] = pd.Series(xp, dtype=bool)
+            pdf["flexbit_pass"] = pd.Series(fp, dtype=bool)
+            yield pdf
+        if max_epoch:
+            prune(st, max_epoch)
+        state.update((_encode_state(st, max_epoch),))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
 
@@ -178,28 +358,36 @@ def read_transcript_stream(spark, path: str, max_files: int = 10):
 
 
 def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
-                     state_timeout_ms: int | None = None):
+                     state_timeout_ms: int | None = None,
+                     late_rows=None):
     """transcripts stream → correlated alert stream (CORR_SCHEMA rows that
     survive suppression are the emit set; filtering/enrichment happens in
     the sink's foreachBatch).
 
     ``state_timeout_ms=None`` (default) derives the eviction timeout from
     the ruleset's largest window (default_state_timeout_ms); pass 0 to
-    explicitly opt out of eviction."""
+    explicitly opt out of eviction.
+
+    ``late_rows``: optional Spark accumulator; rows arriving with
+    epoch < a group's persisted max epoch - horizon (the bound under
+    which event-time eviction is exact) are tallied into it, so backfill
+    deeper than one horizon is observable instead of silently consulting
+    pruned state.  Pass ``spark.sparkContext.accumulator(0)``."""
     from pyspark.sql import functions as F
 
     validate_ruleset_for_spark(ruleset)
     # grouping: per-conv state groups on the fast path; rulesets whose
     # ONLY cross-conv state is 'none'-direction flexbit sharing
     # (flexbit-mmap.c:124 matches any src/dst) route through a single
-    # global group — exact, serial over matched rows only
+    # global group; IP-extracted keys take the staged-general composite
+    # key (one store per row — validator-guaranteed)
     if conv_keyed_only(ruleset):
         group_col = None
     elif conv_keyed_only(ruleset, ignore_none_flexbits=True):
         group_col = "_grp"
     else:
-        raise ValueError("streaming correlator requires conv-derived "
-                         "correlation keys (conv_keyed_only)")
+        group_col = "_gkey"
+        _validate_general_streaming(ruleset)
     if state_timeout_ms is None:
         state_timeout_ms = default_state_timeout_ms(ruleset)
     parsed = parse_transcripts(transcripts_stream)
@@ -222,13 +410,30 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
         return base
     timeout = ("ProcessingTimeTimeout" if state_timeout_ms
                else "NoTimeout")
+    if group_col == "_gkey":
+        keyed = base.withColumn(group_col,
+                                _general_group_key_col(ruleset))
+        # stateless rows (no live state key) bypass the store entirely —
+        # the streaming analog of the batch path's filter/union branches
+        passthru = (keyed.filter(F.col(group_col).isNull())
+                    .drop(group_col))
+        folded = (keyed.filter(F.col(group_col).isNotNull())
+                  .groupBy(group_col)
+                  .applyInPandasWithState(
+                      _general_stateful_correlator(
+                          ruleset, state_timeout_ms, late_rows),
+                      outputStructType=CORR_SCHEMA,
+                      stateStructType=STATE_SCHEMA,
+                      outputMode="append",
+                      timeoutConf=timeout))
+        return folded.unionByName(passthru)
     if group_col is None:
         grouped = base.groupBy("conv_id")
     else:
         grouped = (base.withColumn(group_col, F.lit("__global__"))
                    .groupBy(group_col))
     return grouped.applyInPandasWithState(
-        _stateful_correlator(ruleset, state_timeout_ms),
+        _stateful_correlator(ruleset, state_timeout_ms, late_rows),
         outputStructType=CORR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -169,6 +169,35 @@ def test_cosine_dup_pairs_subset_of_bruteforce(vecs):
     assert len(mine) / len(truth) >= 0.6  # banding recall floor
 
 
+def test_derive_band_bits_scales_with_corpus():
+    """The auto-derived band width must satisfy band_bits >= log2(|V|)/2
+    (similarity.py's own scale rule: random-collision candidates grow
+    ~n_bands*|V|^2/2^(band_bits+1), so narrower bands go quadratic) —
+    including at the sf10 corpus size (200k vectors) whose pinned-4-bit
+    variant TIMEOUTed in the round-3 scale smoke."""
+    import math
+    from sagan_spark.functions.similarity import derive_band_bits
+    for n in (1_000, 50_000, 200_000, 10_000_000):
+        assert derive_band_bits(n) >= math.log2(n) / 2
+    assert derive_band_bits(200_000) >= 9
+
+
+def test_cosine_dup_pairs_auto_band_bits(vecs):
+    """band_bits=None derives from the corpus count and still verifies
+    exactly (no false positives)."""
+    import numpy as np
+    from sagan_spark.functions.similarity import cosine_dup_pairs
+    got = cosine_dup_pairs(vecs, threshold=0.9, dim=16,
+                           band_bits=None).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vecs.collect()}
+    for r in got:
+        a, b = data[r["id_a"]], data[r["id_b"]]
+        c = round(float(np.dot(a, b) /
+                        (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        assert c >= 0.9 and r["id_a"] < r["id_b"]
+
+
 def test_ivf_topk_runs(vecs):
     from sagan_spark.functions.similarity import brute_force_topk, ivf_topk
     queries = vecs.filter(F.col("vec_id") < 3)

@@ -97,11 +97,35 @@ def test_stream_equals_batch_across_microbatches(spark, ruleset, tmp_path):
     pd.testing.assert_frame_equal(batch, stream)
 
 
-def test_streaming_rejects_ip_keyed_rules(spark, ruleset, tmp_path):
+def test_stream_ipkeys_equal_batch(spark, tmp_path):
+    """IP-extracted correlation keys — the reference's PRIMARY deployment
+    mode (after.c:108-110 hashes extracted addresses) — stream through
+    the staged-general composite-key correlator and reproduce the batch
+    general path exactly, state carried across micro-batches."""
+    rs = compile_ruleset_from_dir(
+        os.path.join(os.path.dirname(__file__), "..", "rules-entry",
+                     "ipkeys"))
+    rows = gen_rows(12)
+    in_dir = str(tmp_path / "stream_ipkeys")
+    _write_chunks(spark, rows, in_dir, n_chunks=3)
+    batch = _batch_result(spark, rows, rs)
+    stream = _stream_result(spark, in_dir, rs, max_files=1)
+    # every stage kind must flip at least once or state isn't exercised
+    assert (batch["suppress_after"]).any()
+    assert set(batch["xbit_pass"].unique()) == {True, False}
+    assert set(batch["flexbit_pass"].unique()) == {True, False}
+    pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_streaming_rejects_mismatched_after_thresh_tracks(spark, tmp_path):
+    """The one IP-keyed shape streaming can't key with a single composite:
+    after and threshold with DIFFERENT track sets on one rule (two keyed
+    stages — batch-only)."""
     from sagan_spark.rules.compiler import compile_ruleset
     rs = compile_ruleset(
         'alert syslog any any -> any any (msg:"x"; content:"a"; '
         "parse_src_ip: 1; after: track by_src, count 2, seconds 60; "
+        "threshold: type limit, track by_dst, count 2, seconds 60; "
         "classtype:misc-attack; sid:9; rev:1;)")
     empty = str(tmp_path / "empty_in")
     os.makedirs(empty, exist_ok=True)
@@ -139,6 +163,40 @@ def test_stream_flexbits_equal_batch(spark, tmp_path):
     assert (batch["flexbit_pass"] == False).any() or len(batch) == 0 \
         or True  # ensure column exists; equality below is the real check
     pd.testing.assert_frame_equal(batch, stream)
+
+
+def test_late_rows_accumulator(spark, tmp_path):
+    """Backfill deeper than one horizon (the bound under which event-time
+    eviction is exact) is OBSERVABLE: rows with epoch < a group's
+    persisted max - horizon tally into the late_rows accumulator instead
+    of silently consulting pruned state."""
+    from sagan_spark.rules.compiler import compile_ruleset
+    rs = compile_ruleset(
+        'alert syslog any any -> any any (msg:"x"; content:"foo"; '
+        "after: track by_src, count 2, seconds 60; "
+        "classtype:misc-attack; sid:77; rev:1;)")   # horizon = 60 s
+    in_dir = str(tmp_path / "stream_late")
+    os.makedirs(in_dir, exist_ok=True)
+    for ts, turn in [("2026-01-01 12:00:00", 1),
+                     ("2026-01-01 10:00:00", 0)]:   # 2 h backfill > 60 s
+        pdf = pd.DataFrame([{"conv_id": "c1", "turn_idx": turn,
+                             "role": "user", "text": "foo bar",
+                             "tool": "", "ts": pd.Timestamp(ts)}])
+        (spark.createDataFrame(pdf)
+         .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+        time.sleep(1.1)
+    acc = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, in_dir, max_files=1)
+    corr = streaming_alerts(spark, stream, rs, state_timeout_ms=0,
+                            late_rows=acc)
+    q = (corr.writeStream.format("memory").queryName("late_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert acc.value >= 1
 
 
 def test_stream_none_flexbit_equal_batch(spark, tmp_path):
