@@ -67,6 +67,34 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
     turns_per_sec = round(n_turns / max(times["pipeline_alerts"], 1e-9))
+
+    # sf10 block: the 10M-turn walls where the engine exits fixed cost
+    # and actually differentiates (sf0.1 is session/stage fixed-cost
+    # dominated, per the note below).  Embedded from the most recent
+    # dedicated sf10 run on this host (refresh:
+    # SPARK_GRAFT_SF_DIR=/tmp/sf10 python bench.py > BENCH/bench_sf10.json
+    # after tools/gen_sf.py 10) unless THIS run is already at sf >= 10.
+    sf10_block = None
+    sf10_path = os.path.join(REPO, "BENCH", "bench_sf10.json")
+    if sf < 10 and os.path.exists(sf10_path):
+        try:
+            with open(sf10_path) as f:
+                prior = json.load(f)
+            sf10_block = {
+                "queries": prior.get("queries"),
+                "total_sec": prior.get("value"),
+                "n_turns": prior.get("n_turns"),
+                "pipeline_turns_per_sec": prior.get(
+                    "pipeline_turns_per_sec"),
+                "cpus": prior.get("cpus"),
+                "source": "BENCH/bench_sf10.json, measured on this host "
+                          "at mtime " + time.strftime(
+                              "%Y-%m-%dT%H:%M:%SZ",
+                              time.gmtime(os.path.getmtime(sf10_path))),
+            }
+        except (OSError, ValueError):
+            sf10_block = None
+
     print(json.dumps({
         "metric": "headline query suite wall time "
                   "(flagship: transcripts rule-pipeline)",
@@ -78,6 +106,7 @@ def main() -> int:
         "n_turns": n_turns,
         "pipeline_turns_per_sec": turns_per_sec,
         "cpus": cpus,
+        **({"sf10": sf10_block} if sf10_block else {}),
         "note": "sf0.1 walls are Spark session/stage fixed-cost dominated "
                 "at 100k turns; the representative throughput and the "
                 "median-of-reps scaling efficiency (plus the co-location "

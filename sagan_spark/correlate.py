@@ -200,6 +200,60 @@ def flexbit_groups(ruleset: RuleSet) -> dict[int, int]:
     return out
 
 
+# composite state-group key separator (general path, batch + streaming)
+GSEP = "\x1f"
+
+
+def single_key_per_row(ruleset: RuleSet) -> bool:
+    """True when every matched row carries exactly ONE state-group key —
+    the precondition of the composite-key general path (batch) and the
+    general streaming correlator.  Outside the conv fast path the
+    validator already rejects cross-clause rules, so the only multi-key
+    shape left is after + threshold with DIFFERENT track sets on one
+    rule (after_key != thresh_key row-wise → two keyed stages)."""
+    return all(not (r.after and r.threshold
+                    and r.after.tracks != r.threshold.tracks)
+               for r in ruleset.rules)
+
+
+def general_group_key_col(ruleset: RuleSet):
+    """Per-row composite state-group key (column expr):
+
+      x<GSEP>xbit_key           — xbit store keyed (name, track value);
+                                  set/isset interact iff their track
+                                  VALUES coincide (xbit-mmap.c:88-91
+                                  Xbit_Return_Tracking_Hash), which is
+                                  exactly key equality here
+      f<GSEP>name-group         — flexbit name-group (flexbit_groups);
+                                  a `count` clause couples all groups
+                                  into one, so name-agnostic tallies
+                                  stay single-group
+      a<GSEP>sid<GSEP>track-key — after/threshold state (after.c:113-117
+                                  / threshold.c:118-121 key by sid +
+                                  track value; single_key_per_row
+                                  guarantees one value per row)
+
+    NULL for rows touching no store (stateless rules, or stateful rules
+    whose track value is missing — the staged path passes those through
+    with default flags, and so do callers of this key)."""
+    from pyspark.sql import functions as F
+
+    fgroups = flexbit_groups(ruleset)
+    expr = F.when(F.col("xbit_key").isNotNull(),
+                  F.concat_ws(GSEP, F.lit("x"), F.col("xbit_key")))
+    if fgroups:
+        gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
+                              for x in (i, g)])
+        expr = expr.when(F.col("rule_idx").isin(list(fgroups)),
+                         F.concat_ws(GSEP, F.lit("f"),
+                                     gmap[F.col("rule_idx")]))
+    expr = expr.when(
+        F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
+        F.concat_ws(GSEP, F.lit("a"), F.col("sid").cast("string"),
+                    F.coalesce(F.col("after_key"), F.col("thresh_key"))))
+    return expr
+
+
 def validate_ruleset_for_spark(ruleset: RuleSet) -> None:
     """Plan-time restrictions that apply ONLY outside the conv-keyed fast
     path (where the unified fold handles every combination exactly)."""
@@ -548,6 +602,43 @@ def run_correlate(matches, ruleset: RuleSet, persists: list | None = None):
             yield from apply_fold_to_batches(fold, CorrState(), batches)
 
         return rep.mapInPandas(run, schema=CORR_SCHEMA)
+
+    if single_key_per_row(ruleset):
+        # composite-key general path — the common IP-extracted shape.
+        # Every stateful row carries exactly one state-group key, so the
+        # plan collapses to the SAME shape as the conv fast path: one
+        # repartition(_gkey) + sortWithinPartitions + one unified-fold
+        # mapInPandas — instead of the staged path's per-clause shuffle +
+        # persist + filter/union chain (4 shuffles and 5 cached frames on
+        # a 4-clause ruleset; >3x the wall at 10M turns).  Correct
+        # because unified_fold keys every store by row-level values
+        # ((sid,rev,after_key), (sid,thresh_key), (name,track-value),
+        # flexbit (name,src,dst)): the shuffle only needs to CO-LOCATE
+        # rows of equal state keys, which _gkey does by construction,
+        # and a partition-shared CorrState cannot alias across groups
+        # (keys are globally unique; flexbit tallies are name-scoped and
+        # `count` coupling is already one group).  Stateless rows bypass
+        # the shuffle entirely.
+        gkey = general_group_key_col(ruleset)
+        keyed = df.withColumn("_gkey", gkey)
+        passthru = keyed.filter(F.col("_gkey").isNull()).drop("_gkey")
+        rep = (keyed.filter(F.col("_gkey").isNotNull())
+               .repartition(F.col("_gkey"))
+               .sortWithinPartitions("_gkey", *_SORT))
+        fold = unified_fold(ruleset)
+
+        def run_gen(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            def stripped():
+                for pdf in batches:
+                    yield pdf.drop(columns=["_gkey"])
+            yield from apply_fold_to_batches(fold, CorrState(), stripped())
+
+        return (rep.mapInPandas(run_gen, schema=CORR_SCHEMA)
+                .unionByName(passthru))
+
+    # staged fallback: after + threshold with different tracks on one
+    # rule needs two keyed stages (one shuffle per clause type)
 
     def _track(frame):
         if persists is not None:

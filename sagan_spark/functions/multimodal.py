@@ -33,14 +33,31 @@ except ImportError:
     _HAS_PIL = False
 
 
-def synth_media_df(spark, n: int = 64) -> DataFrame:
+def synth_media_df(spark, n: int = 64, real_images: bool = False) -> DataFrame:
     """Deterministic fake media table: payload bytes are a pure function
-    of media_id (no RNG), so tests can assert exact feature values."""
+    of media_id (no RNG), so tests can assert exact feature values.
+
+    ``real_images=True`` (requires PIL) emits valid PNG payloads — the
+    corpus for exercising the REAL decode branch of extract_features."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = bytes(((i * 37 + j * 11) % 251) for j in range(64 + i % 32))
-        rows.append((i, kind, payload, f"application/x-fake-{kind}",
+        if real_images:
+            if not _HAS_PIL:
+                raise RuntimeError("real_images=True needs PIL")
+            import io
+
+            from PIL import Image
+            img = Image.new("L", (8, 8),
+                            color=(i * 37) % 256)   # deterministic
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            payload, mime = buf.getvalue(), "image/png"
+        else:
+            payload = bytes(((i * 37 + j * 11) % 251)
+                            for j in range(64 + i % 32))
+            mime = f"application/x-fake-{kind}"
+        rows.append((i, kind, payload, mime,
                      32 + i % 8, 24 + i % 6, 1000 + i * 10))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -64,28 +81,55 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """payload → feature vector via Arrow-batched mapInPandas (the real
-    decode would run here; signature and batch shape are production-
-    ready).  When PIL IS present we still use the deterministic fake so
-    results stay engine-portable; swapping in a real decoder is a local
-    change to _fake_decode_features."""
-    if _HAS_PIL:  # pragma: no cover — not available in this container
-        import logging
-        logging.getLogger(__name__).info(
-            "PIL available but using deterministic fake features "
-            "(swap _fake_decode_features for a real decoder)")
+def _pil_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL decode branch: PIL image → 16×16 grayscale → the same moment
+    features as the fake (so both branches share shape and range).  Only
+    importable when PIL is installed (_HAS_PIL)."""
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((16, 16))
+    arr = np.asarray(img, dtype=np.float64).ravel()
+    return [round(float(np.mean((arr * (d + 1)) % 256) / 255.0), 6)
+            for d in range(dim)]
+
+
+def extract_features(df: DataFrame, dim: int = 8,
+                     decoder: str = "auto") -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas.
+
+    ``decoder``: "pil" (real image decode, requires PIL and decodable
+    payloads), "fake" (deterministic byte-histogram stand-in — the only
+    branch runnable in a sandbox without decode libs), or "auto" (pil
+    when available AND the frame's mime says image/*, else fake).  The
+    Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+    batch shape — is identical in both branches and is what the pipeline
+    tests pin down."""
+    if decoder == "auto":
+        decoder = "pil" if _HAS_PIL else "fake"
+    if decoder == "pil" and not _HAS_PIL:
+        raise RuntimeError("decoder='pil' needs PIL in the environment")
 
     schema = "media_id long, kind string, features array<double>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_features(p, dim)
-                     for p in pdf["payload"].tolist()]
+            if decoder == "pil":
+                feats = []
+                for p, m in zip(pdf["payload"].tolist(),
+                                pdf["mime"].tolist()):
+                    # non-image payloads keep the fake path even under
+                    # pil (audio/video decoders are a separate gate)
+                    feats.append(_pil_decode_features(p, dim)
+                                 if m.startswith("image/")
+                                 else _fake_decode_features(p, dim))
+            else:
+                feats = [_fake_decode_features(p, dim)
+                         for p in pdf["payload"].tolist()]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"], "features": feats})
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
+    return df.select("media_id", "kind", "mime", "payload").mapInPandas(
         fn, schema=schema)
 
 

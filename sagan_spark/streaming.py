@@ -59,17 +59,13 @@ from .correlate import (
     CorrState,
     FlexStore,
     _SORT,
-    _after_update,
-    _thresh_update,
-    _xbit_apply,
-    _xbit_condition,
     apply_fold_to_batches,
     conv_keyed_only,
-    flexbit_groups,
+    general_group_key_col,
+    single_key_per_row,
     unified_fold,
     validate_ruleset_for_spark,
 )
-from .semantics import flexbit_gate
 from .datagen import TRANSCRIPTS_SCHEMA
 from .match import MATCH_SCHEMA, build_matcher, candidate_filter
 from .parse import parse_transcripts, split_ignored
@@ -204,105 +200,11 @@ def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
 
 # ---------------------------------------------------------------------------
 # staged-general streaming path (IP-extracted keys, SURVEY §2.9 on the
-# reference's primary deployment mode)
+# reference's primary deployment mode).  Group key + precondition are
+# SHARED with the batch composite-key path (correlate.general_group_key_col
+# / single_key_per_row), and the fold is the same unified engine-order
+# fold — batch and streaming cannot diverge on general-path semantics.
 # ---------------------------------------------------------------------------
-
-_GSEP = "\x1f"
-
-
-def _validate_general_streaming(ruleset: RuleSet) -> None:
-    """The composite-key correlator needs one state key per row; a rule
-    carrying after AND threshold with different track sets would need two
-    keyed stages (only the batch general path has them)."""
-    for r in ruleset.rules:
-        if r.after and r.threshold and r.after.tracks != r.threshold.tracks:
-            raise ValueError(
-                f"sid {r.sid}: after and threshold with different tracks "
-                "on IP-extracted keys need two keyed stages — batch-only")
-
-
-def _general_group_key_col(ruleset: RuleSet):
-    """Per-row composite state-group key (column expr).  Outside the
-    conv-keyed fast path the validator rejects cross-clause rules, so a
-    row touches exactly one store:
-
-      x<SEP>xbit_key          — xbit store keyed (name, track value); the
-                                streaming analog of batch
-                                _run_stage(["xbit_key"]) partitioning
-      f<SEP>name-group        — flexbit fold, name-group-parallel exactly
-                                like the batch stage (flexbit_groups)
-      a<SEP>sid<SEP>track-key — after/threshold state (after.c:113-117 /
-                                threshold.c:118-121 key by sid + track)
-
-    NULL for stateless rows (routed around the state store entirely)."""
-    from pyspark.sql import functions as F
-
-    fgroups = flexbit_groups(ruleset)
-    expr = F.when(F.col("xbit_key").isNotNull(),
-                  F.concat_ws(_GSEP, F.lit("x"), F.col("xbit_key")))
-    if fgroups:
-        gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
-                              for x in (i, g)])
-        expr = expr.when(F.col("rule_idx").isin(list(fgroups)),
-                         F.concat_ws(_GSEP, F.lit("f"),
-                                     gmap[F.col("rule_idx")]))
-    expr = expr.when(
-        F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
-        F.concat_ws(_GSEP, F.lit("a"), F.col("sid").cast("string"),
-                    F.coalesce(F.col("after_key"), F.col("thresh_key"))))
-    return expr
-
-
-def _general_fold(ruleset: RuleSet):
-    """Fold one state group's rows (already sorted) through the store its
-    kind owns — the same per-key state machines the batch stages run
-    (_after_update / _thresh_update / _xbit_* / FlexStore)."""
-    def fold(pdf: pd.DataFrame, st: CorrState, kind: str):
-        n = len(pdf)
-        sup_a = [False] * n
-        sup_t = [False] * n
-        xp = [True] * n
-        fp = [True] * n
-        ridxs = pdf["rule_idx"].tolist()
-        epochs = pdf["epoch"].tolist()
-        if kind == "a":
-            for i, (sid, rev, ak, tk, t, ridx) in enumerate(zip(
-                    pdf["sid"].tolist(), pdf["rev"].tolist(),
-                    pdf["after_key"].tolist(), pdf["thresh_key"].tolist(),
-                    epochs, ridxs)):
-                r = ruleset.rules[ridx]
-                if ak is not None and r.after:
-                    sup_a[i] = _after_update(r.after, st.after,
-                                             (sid, rev, ak), t)
-                # after-suppressed rows never reach the threshold counter
-                # (engine.c:1528)
-                if tk is not None and r.threshold and not sup_a[i]:
-                    sup_t[i] = _thresh_update(r.threshold, st.thresh,
-                                              (sid, tk), t)
-        elif kind == "x":
-            for i, (t, ridx, src, dst) in enumerate(zip(
-                    epochs, ridxs, pdf["ip_src"].tolist(),
-                    pdf["ip_dst"].tolist())):
-                rule = ruleset.rules[ridx]
-                passed = _xbit_condition(rule, st.xbit, src, dst, t)
-                if passed:
-                    _xbit_apply(rule, st.xbit, src, dst, t)
-                xp[i] = passed
-        else:   # "f"
-            for i, (t, ridx, src, dst, sport, dport) in enumerate(zip(
-                    epochs, ridxs, pdf["ip_src"].tolist(),
-                    pdf["ip_dst"].tolist(), pdf["src_port"].tolist(),
-                    pdf["dst_port"].tolist())):
-                rule = ruleset.rules[ridx]
-                cond_ret = st.flex.condition(rule, src, dst, sport,
-                                             dport, t)
-                count_ret = st.flex.count_check(rule, src, dst)
-                ok = flexbit_gate(rule, cond_ret, count_ret)
-                if ok:
-                    st.flex.apply_sets(rule, src, dst, sport, dport, t)
-                fp[i] = ok
-        return sup_a, sup_t, xp, fp
-    return fold
 
 
 def _general_stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
@@ -311,8 +213,9 @@ def _general_stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
     One micro-batch's group rows are concatenated and sorted ONCE (a
     group is one state key — one IP / one name-group — so the per-batch
     row set is small and the global sort keeps cross-chunk order exact),
-    then folded with the store persisted in the GroupState."""
-    fold = _general_fold(ruleset)
+    then folded through unified_fold with the stores persisted in the
+    GroupState."""
+    fold = unified_fold(ruleset)
     prune = _make_pruner(ruleset)
     horizon = default_state_timeout_ms(ruleset) // 2000
 
@@ -322,7 +225,6 @@ def _general_stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
             return
         st, max_epoch = (_decode_state(state.get[0]) if state.exists
                          else (CorrState(), 0))
-        kind = key[0].split(_GSEP, 1)[0]
         chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = (pd.concat(chunks, ignore_index=True)
@@ -333,7 +235,7 @@ def _general_stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
                 if late:
                     late_rows.add(late)
             max_epoch = max(max_epoch, int(pdf["epoch"].max()))
-            sup_a, sup_t, xp, fp = fold(pdf, st, kind)
+            sup_a, sup_t, xp, fp = fold(pdf, st)
             pdf["suppress_after"] = pd.Series(sup_a, dtype=bool)
             pdf["suppress_thresh"] = pd.Series(sup_t, dtype=bool)
             pdf["xbit_pass"] = pd.Series(xp, dtype=bool)
@@ -387,7 +289,11 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
         group_col = "_grp"
     else:
         group_col = "_gkey"
-        _validate_general_streaming(ruleset)
+        if not single_key_per_row(ruleset):
+            raise ValueError(
+                "after and threshold with different tracks on one "
+                "IP-keyed rule need two keyed stages — batch-only "
+                "(the batch staged path in correlate.py)")
     if state_timeout_ms is None:
         state_timeout_ms = default_state_timeout_ms(ruleset)
     parsed = parse_transcripts(transcripts_stream)
@@ -412,7 +318,7 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
                else "NoTimeout")
     if group_col == "_gkey":
         keyed = base.withColumn(group_col,
-                                _general_group_key_col(ruleset))
+                                general_group_key_col(ruleset))
         # stateless rows (no live state key) bypass the store entirely —
         # the streaming analog of the batch path's filter/union branches
         passthru = (keyed.filter(F.col(group_col).isNull())
