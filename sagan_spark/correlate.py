@@ -216,6 +216,46 @@ def single_key_per_row(ruleset: RuleSet) -> bool:
                for r in ruleset.rules)
 
 
+def flex_subkey_modes(ruleset: RuleSet) -> dict[int, str]:
+    """flexbit name-group id → finest EXACT partition subkey:
+
+      'src'   every reader (isset/isnotset/unset/count) in the group is
+              src-sided (by_src/by_src_p, count by_src): an entry can
+              only be consulted by rows sharing its ip_src, so the group
+              shards by ip_src with bit-identical results
+      'dst'   dst-sided mirror
+      'pair'  only both/both_p readers → shard by (ip_src, ip_dst)
+      'upair' both/reverse mix → shard by the unordered pair
+      ''      anything else ('none', xbitdst cross-directions, mixed
+              sides) — the group stays one serial partition, which is
+              the reference's own global-scan semantic
+
+    set-only groups (no readers) shard freely ('src')."""
+    groups = flexbit_groups(ruleset)
+    dirs: dict[int, set] = {g: set() for g in groups.values()}
+    for i, r in enumerate(ruleset.rules):
+        if i not in groups:
+            continue
+        for fb in r.flexbits:
+            if fb.action in ("isset", "isnotset", "unset"):
+                dirs[groups[i]].add(fb.direction)
+            elif fb.action == "count":
+                dirs[groups[i]].add("count_" + fb.direction)
+    out = {}
+    for g, d in dirs.items():
+        if d <= {"by_src", "by_src_p", "count_by_src"}:
+            out[g] = "src"
+        elif d <= {"by_dst", "by_dst_p", "count_by_dst"}:
+            out[g] = "dst"
+        elif d <= {"both", "both_p"}:
+            out[g] = "pair"
+        elif d <= {"both", "both_p", "reverse", "reverse_p"}:
+            out[g] = "upair"
+        else:
+            out[g] = ""
+    return out
+
+
 def general_group_key_col(ruleset: RuleSet):
     """Per-row composite state-group key (column expr):
 
@@ -244,9 +284,25 @@ def general_group_key_col(ruleset: RuleSet):
     if fgroups:
         gmap = F.create_map(*[F.lit(x) for i, g in fgroups.items()
                               for x in (i, g)])
+        # direction-aware subkey (flex_subkey_modes): shards a name-group
+        # across its src/dst/pair keyspace when every reader is
+        # side-consistent — the difference between one serial partition
+        # per flexbit name and full parallelism at 10M turns
+        modes = flex_subkey_modes(ruleset)
+        smap = F.create_map(*[F.lit(x) for g, m in modes.items()
+                              for x in (g, m)])
+        grp = gmap[F.col("rule_idx")]
+        src = F.coalesce(F.col("ip_src"), F.lit(""))
+        dst = F.coalesce(F.col("ip_dst"), F.lit(""))
+        sub = (F.when(smap[grp] == "src", src)
+               .when(smap[grp] == "dst", dst)
+               .when(smap[grp] == "pair", F.concat_ws("~", src, dst))
+               .when(smap[grp] == "upair",
+                     F.concat_ws("~", F.least(src, dst),
+                                 F.greatest(src, dst)))
+               .otherwise(F.lit("")))
         expr = expr.when(F.col("rule_idx").isin(list(fgroups)),
-                         F.concat_ws(GSEP, F.lit("f"),
-                                     gmap[F.col("rule_idx")]))
+                         F.concat_ws(GSEP, F.lit("f"), grp, sub))
     expr = expr.when(
         F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
         F.concat_ws(GSEP, F.lit("a"), F.col("sid").cast("string"),

@@ -182,17 +182,49 @@ class FlexStore:
     Entries are never removed — expiry toggles liveness lazily (the
     Flexbit_Cleanup_MMAP equivalent, flexbit-mmap.c:1468-1494) and the
     name-agnostic, state-agnostic count quirk (flexbit-mmap.c:671-744)
-    is preserved via creation-time per-IP counters."""
+    is preserved via creation-time per-IP counters.
 
-    __slots__ = ("by_name", "by_key", "cnt_src", "cnt_dst")
+    Scale note: the reference scans the whole mmap array per event
+    (flexbit-mmap.c:104-320) — O(entries) per condition, quadratic over
+    a stream of set+isset rows.  This store keeps per-(name,src) and
+    per-(name,dst) secondary indexes so each direction consults only the
+    entries it can match — same tallies bit-for-bit, linear wall.  Index
+    lists hold the SAME mutable entry objects as by_name, so unset's
+    in-place liveness toggles stay visible everywhere."""
+
+    __slots__ = ("by_name", "by_key", "cnt_src", "cnt_dst",
+                 "idx_src", "idx_dst")
 
     def __init__(self):
         self.by_name: dict[str, list] = {}
         self.by_key: dict[tuple, list] = {}
         self.cnt_src: dict[str, int] = {}
         self.cnt_dst: dict[str, int] = {}
+        self.idx_src: dict[tuple, list] = {}
+        self.idx_dst: dict[tuple, list] = {}
 
     # entry layout: [ip_src, ip_dst, src_port, dst_port, expire_at, state]
+
+    def _candidates(self, name, direction, c_src, c_dst):
+        """The (superset of) entries this direction can match — chosen by
+        which side of the entry the direction compares against the
+        current event (flexbit_entry_matches); every candidate is still
+        verified by the full direction compare afterwards."""
+        if direction in ("by_src", "by_src_p"):        # e_src == c_src
+            return self.idx_src.get((name, c_src), ())
+        if direction in ("by_dst", "by_dst_p"):        # e_dst == c_dst
+            return self.idx_dst.get((name, c_dst), ())
+        if direction in ("both", "both_p"):            # exact (src, dst)
+            e = self.by_key.get((name, c_src, c_dst))
+            return (e,) if e is not None else ()
+        if direction in ("reverse", "reverse_p"):      # exact (dst, src)
+            e = self.by_key.get((name, c_dst, c_src))
+            return (e,) if e is not None else ()
+        if direction in ("src_xbitdst", "src_xbitdst_p"):  # e_dst == c_src
+            return self.idx_dst.get((name, c_src), ())
+        if direction in ("dst_xbitsrc", "dst_xbitsrc_p"):  # e_src == c_dst
+            return self.idx_src.get((name, c_dst), ())
+        return self.by_name.get(name, ())              # none: any entry
 
     def condition(self, rule, src, dst, sport, dport, t) -> bool:
         """Flexbit_Condition_MMAP (flexbit-mmap.c:61-670): the final test
@@ -201,22 +233,31 @@ class FlexStore:
         (flexbit-mmap.c:116-318,637) — so TWO live entries matching one
         isset clause (same src, two dsts, direction by_src) overcount and
         make the reference return false.  Quirk preserved bit-for-bit."""
-        tally = n_cond = 0
-        for fb in rule.flexbits:
+        conds = [fb for fb in rule.flexbits
+                 if fb.action in ("isset", "isnotset")]
+        n_cond = len(conds)
+        tally = 0
+        for fb in conds:
             if fb.action == "isset":
-                n_cond += 1
-                for e in self.by_name.get(fb.name, ()):
+                for e in self._candidates(fb.name, fb.direction, src, dst):
                     if e[5] and t < e[4] and flexbit_entry_matches(
                             fb.direction, e[0], e[1], e[2], e[3],
                             src, dst, sport, dport):
                         tally += 1
-            elif fb.action == "isnotset":
-                n_cond += 1
+                        if tally > n_cond:
+                            # exact early exit: the total only grows, so
+                            # it can no longer EQUAL n_cond — the
+                            # reference's full-array tally
+                            # (flexbit-mmap.c:637) reaches the same
+                            # False without the O(live entries) scan
+                            return False
+            else:
                 hit = any(
                     e[5] and t < e[4] and flexbit_entry_matches(
                         fb.direction, e[0], e[1], e[2], e[3],
                         src, dst, sport, dport)
-                    for e in self.by_name.get(fb.name, ()))
+                    for e in self._candidates(fb.name, fb.direction,
+                                              src, dst))
                 if not hit:
                     tally += 1
         return tally == n_cond
@@ -250,16 +291,21 @@ class FlexStore:
                     e[4], e[5] = t + fb.timeout, True
                 else:                             # create (mmap.c:1412-1434)
                     e = [src, dst, sport, dport, t + fb.timeout, True]
-                    self.by_key[key] = e
-                    self.by_name.setdefault(fb.name, []).append(e)
+                    self._index(fb.name, e)
                     self.cnt_src[src] = self.cnt_src.get(src, 0) + 1
                     self.cnt_dst[dst] = self.cnt_dst.get(dst, 0) + 1
             elif fb.action == "unset":
-                for e in self.by_name.get(fb.name, ()):
+                for e in self._candidates(fb.name, fb.direction, src, dst):
                     if flexbit_entry_matches(fb.direction, e[0], e[1],
                                              e[2], e[3], src, dst,
                                              sport, dport):
                         e[5] = False              # mmap.c:784-990
+
+    def _index(self, name: str, e: list) -> None:
+        self.by_key[(name, e[0], e[1])] = e
+        self.by_name.setdefault(name, []).append(e)
+        self.idx_src.setdefault((name, e[0]), []).append(e)
+        self.idx_dst.setdefault((name, e[1]), []).append(e)
 
     # -- streaming persistence ---------------------------------------------
 
@@ -270,8 +316,7 @@ class FlexStore:
     def load(cls, items: list) -> "FlexStore":
         st = cls()
         for name, e in items:
-            st.by_name.setdefault(name, []).append(e)
-            st.by_key[(name, e[0], e[1])] = e
+            st._index(name, e)
             st.cnt_src[e[0]] = st.cnt_src.get(e[0], 0) + 1
             st.cnt_dst[e[1]] = st.cnt_dst.get(e[1], 0) + 1
         return st
