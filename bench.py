@@ -87,6 +87,8 @@ def main() -> int:
                 "pipeline_turns_per_sec": prior.get(
                     "pipeline_turns_per_sec"),
                 "cpus": prior.get("cpus"),
+                **({"reps_note": prior["reps_note"]}
+                   if "reps_note" in prior else {}),
                 "source": "BENCH/bench_sf10.json, measured on this host "
                           "at mtime " + time.strftime(
                               "%Y-%m-%dT%H:%M:%SZ",

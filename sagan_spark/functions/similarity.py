@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -128,13 +130,19 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def derive_band_bits(n: int) -> int:
-    """Scale-adaptive band width for cosine_dup_pairs: random-collision
-    candidates grow ~ n_bands * n**2 / 2**(band_bits+1), so band_bits
-    must grow ~ log2(n)/2 to keep that load ~ n_bands * n / 2 (linear in
-    the corpus).  ceil, never floor — under-provisioned bands are the
-    quadratic failure mode; over-provisioned ones only cost recall at
-    the margin."""
-    return max(2, math.ceil(math.log2(max(n, 4)) / 2))
+    """Scale-adaptive band width for cosine_dup_pairs.  Random
+    (non-duplicate) vectors collide in a band with probability
+    2**-band_bits, so the candidate self-join carries
+    ~ n_bands * n**2 / 2**(band_bits+1) random pairs.  Keeping that load
+    LINEAR in n needs 2**band_bits ~ n, i.e. band_bits = log2(n) - c;
+    c = 3 puts the load at ~ 4 * n_bands * n pairs.  (log2(n)/2 — the
+    round-3 rule — only tames it to ~n**1.5, which is 3.6e8 candidate
+    pairs at 200k vectors: measured TIMEOUT in scale_smoke.)  Wider
+    bands cost recall per band; the caller recovers recall by raising
+    n_bands (recall ≈ 1-(1-p**band_bits)**n_bands for per-bit agreement
+    probability p = 1 - angle/pi), which scales compute linearly instead
+    of quadratically."""
+    return max(2, math.ceil(math.log2(max(n, 4))) - 3)
 
 
 def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
@@ -148,18 +156,29 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
 
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
 
-    Scale shape: random (non-duplicate) vectors spread uniformly over
-    2**band_bits buckets per band, so the candidate set is
-    ~ n_bands * |V|**2 / 2**(band_bits+1) pairs PLUS the true duplicate
-    clusters.  ``band_bits`` must therefore grow with |V| — about
-    log2(|V|)/2 keeps the random-collision load ~ n_bands*|V|/2 — and
-    the 4-bit default only suits corpora up to ~50k vectors.  Pass
-    ``band_bits=None`` to derive it from a count of ``vectors`` (one
-    extra action; wider bands trade recall for candidate volume).  A
-    degenerate bucket of true duplicates is the data's own duplication,
-    which is the thing being measured."""
+    Scale shape, two layers:
+
+    * **Exact-duplicate collapse first.**  A web-scale corpus carries
+      heavy exact duplication (the sf10 table: 200k rows, 2,000 distinct
+      vectors, 100-member clusters).  LSH over raw rows self-joins every
+      cluster in EVERY band — 8.4e9 candidate pairs measured at sf10 —
+      so candidates are generated over DISTINCT vectors only; duplicate
+      clusters re-expand afterwards (their pair volume is the data's own
+      duplication, i.e. the answer, not wasted candidate work).
+    * **Band width grows with the distinct count.**  Random vectors
+      spread over 2**band_bits buckets per band → candidate load
+      ~ n_bands * D**2 / 2**(band_bits+1) for D distinct vectors; see
+      derive_band_bits for the log2(D)-based rule and the
+      recall/n_bands tradeoff.  The 4-bit default suits distinct counts
+      up to ~50k; pass ``band_bits=None`` to derive it (one extra
+      action)."""
+    vv = vectors.select(F.col(id_col).alias("vid"),
+                        F.col(vec_col).alias("emb"))
+    # collapse exact dupes: representative id + members per distinct
+    # vector (groupBy on the array column — one keys-only shuffle)
+    reps = vv.groupBy("emb").agg(F.min("vid").alias("vid"))
     if band_bits is None:
-        band_bits = derive_band_bits(vectors.count())
+        band_bits = derive_band_bits(reps.count())
     planes = _hyperplanes(dim, n_bands * band_bits)
 
     def band_cols(emb):
@@ -175,21 +194,74 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
                                  bits.alias("bucket")))
         return F.array(*cols)
 
-    v = vectors.select(F.col(id_col).alias("vid"),
-                       F.col(vec_col).alias("emb"),
-                       F.explode(band_cols(F.col(vec_col))).alias("bb")
-                       ).select("vid", "emb", "bb.band", "bb.bucket")
-    a = v.select(F.col("vid").alias("id_a"), F.col("emb").alias("a_emb"),
+    if n_bands * band_bits <= 48:
+        # few planes: JVM-side codegen expressions (and bit-stable with
+        # the static DuckDB oracle that re-derives the same planes)
+        bucketed = reps.select(
+            "vid", "emb", F.explode(band_cols(F.col("emb"))).alias("bb"))
+    else:
+        # scale path (derived band_bits ~ log2 D): hundreds of nested
+        # aggregate expressions blow past codegen limits and fall back
+        # to interpreted eval — one Arrow-batched numpy matmul computes
+        # every plane sign at once instead
+        import numpy as np
+        P = np.asarray(planes, dtype=np.float64)        # (planes, dim)
+        w = (1 << np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+        @F.pandas_udf("array<int>")
+        def bucket_vec(emb: pd.Series) -> pd.Series:
+            E = np.stack(emb.to_numpy())                # (n, dim)
+            bits = (E @ P.T) >= 0                       # (n, planes)
+            bk = bits.reshape(len(E), n_bands, band_bits) @ w
+            return pd.Series(list(bk.astype(np.int32)))
+
+        bucketed = (reps.select(
+            "vid", "emb",
+            F.posexplode(bucket_vec(F.col("emb"))).alias("band", "bucket"))
+            .select("vid", "emb",
+                    F.struct("band", "bucket").alias("bb")))
+
+    v = bucketed.select("vid", "emb", "bb.band", "bb.bucket")
+    a = v.select(F.col("vid").alias("rid_a"), F.col("emb").alias("a_emb"),
                  "band", "bucket")
-    b = v.select(F.col("vid").alias("id_b"), F.col("emb").alias("b_emb"),
+    b = v.select(F.col("vid").alias("rid_b"), F.col("emb").alias("b_emb"),
                  "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "a_emb", "id_b", "b_emb")
+            .filter(F.col("rid_a") < F.col("rid_b"))
+            .select("rid_a", "a_emb", "rid_b", "b_emb")
             .distinct())
-    return (with_cosine(cand, "a_emb", "b_emb")
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    rep_pairs = (with_cosine(cand, "a_emb", "b_emb")
+                 .filter(F.col("cosine") >= threshold)
+                 .select("rid_a", "a_emb", "rid_b", "cosine"))
+
+    # expand duplicate clusters back to id pairs.  members: every input
+    # id tagged with its cluster representative (join on the vector)
+    members = (vv.join(reps.withColumnRenamed("vid", "rid"), "emb")
+               .select("rid", "vid"))
+    # cross-cluster: every member of a × every member of b — the
+    # verified rep-level cosine applies to all of them (identical vecs)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (rep_pairs
+             .join(ma, F.col("rid_a") == F.col("ma.rid"))
+             .join(mb, F.col("rid_b") == F.col("mb.rid"))
+             .select(F.least("ma.vid", "mb.vid").alias("id_a"),
+                     F.greatest("ma.vid", "mb.vid").alias("id_b"),
+                     "cosine"))
+    # within-cluster: all pairs inside one duplicate cluster, cosine of
+    # the vector with itself (rounded like every other pair; NaN for
+    # zero vectors drops the pair, matching the raw self-join)
+    w1, w2 = members.alias("w1"), members.alias("w2")
+    within = (w1.join(w2, (F.col("w1.rid") == F.col("w2.rid")) &
+                      (F.col("w1.vid") < F.col("w2.vid")))
+              .join(reps.withColumnRenamed("vid", "rid"), "rid")
+              .select(F.col("w1.vid").alias("id_a"),
+                      F.col("w2.vid").alias("id_b"),
+                      F.col("emb").alias("a_emb"),
+                      F.col("emb").alias("b_emb")))
+    within = (with_cosine(within, "a_emb", "b_emb")
+              .filter(F.col("cosine") >= threshold)
+              .select("id_a", "id_b", "cosine"))
+    return cross.unionByName(within)
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,

@@ -40,8 +40,9 @@ sys.path.insert(0, REPO)
 EXPLANATIONS: dict[str, str] = {
     "cosine_dup": (
         "pinned band_bits=4 to match its static DuckDB oracle at gate "
-        "scale; only suits <=50k vectors (similarity.py doc) — the scale "
-        "path is band_bits=None, measured as cosine_dup_auto below"),
+        "scale; suits up to ~50k DISTINCT vectors (similarity.py doc — "
+        "exact-dup collapse made sf10's 2k-distinct corpus pass even "
+        "pinned); the derived-width scale path is cosine_dup_auto below"),
 }
 
 
@@ -118,7 +119,16 @@ def main() -> int:
         measure(name, lambda: fn(spark, sf_dir))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scale_smoke.json"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "scale_smoke.json")
+    if only and os.path.exists(path):
+        # partial re-run: merge into the existing artifact (same sf_dir)
+        with open(path) as f:
+            prior = json.load(f)
+        if prior.get("sf_dir") == sf_dir:
+            merged = dict(prior.get("results", {}))
+            merged.update(results)
+            results = merged
+    with open(path, "w") as f:
         json.dump({"sf_dir": sf_dir, "timeout_sec": timeout,
                    "cache_model": "cleared at MEMO_FAMILIES boundaries "
                                   "(driver-session-faithful)",
