@@ -182,6 +182,16 @@ def main() -> int:
         all_reps = [r for r in all_reps
                     if r.get("cores_per_executor") == E
                     and r.get("shards") == args.shards]
+        # pool only reps that measured THIS engine version: each rep
+        # records its commit, and mixing code versions in one median
+        # would let stale measurements outvote the current engine
+        # (the full series stays in the jsonl as history)
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        cur = [r for r in all_reps if r.get("commit") == head]
+        if cur:
+            all_reps = cur
     else:
         all_reps = reps
     srt = sorted(all_reps, key=lambda r: r["eff"])
