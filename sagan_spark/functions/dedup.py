@@ -4,10 +4,12 @@
 Scale design:
 * **exact_dedup** — one hash-groupBy shuffle on the md5 key; at 100 TB the
   shuffle moves only (key, doc_id) pairs, not text.
-* **minhash_lsh_pairs** — shingle → minhash signature → band buckets →
-  bucket equi-join → exact-Jaccard verify.  The candidate join is an
-  equi-join on (band, bucket-hash), so Spark shuffles only signature
-  fragments; the O(n²) comparison never materializes.  Verification makes
+* **minhash_lsh_pairs** — exact-duplicate collapse → shingle → minhash
+  signature → band buckets → bucket equi-join → exact-Jaccard verify →
+  cluster re-expansion.  The candidate join is an equi-join on (band,
+  bucket-hash) over duplicate-cluster REPRESENTATIVES, so Spark shuffles
+  only signature fragments and duplicate clusters never self-join inside
+  buckets; the O(n²) comparison never materializes.  Verification makes
   the output *exact* above the threshold (LSH miss probability with
   b=64/r=2 bands is < 1e-20 at s ≥ 0.8), so the DuckDB all-pairs oracle
   matches.
@@ -131,16 +133,55 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     Jaccard.  Exact-equal to the all-pairs result at the threshold, with
     LSH pruning doing the scale work.
 
-    ``persist_shingles`` caches the exploded shingle frame (read 3×:
-    signatures, verify-a, verify-b).  At extreme corpus sizes where the
-    exploded shingles (~10× the text bytes) would thrash the disk cache,
-    pass False to trade two extra tokenizer scans for zero spill."""
+    Scale shape, two layers (mirrors cosine_dup_pairs):
+
+    * **Exact-duplicate collapse first.**  A web-scale corpus is heavy
+      with byte-identical documents; LSH over raw rows self-joins every
+      duplicate cluster in EVERY band (quadratic in cluster size — the
+      slowest sf10 query before this collapse).  So: collapse to one
+      representative per md5(normalized text) fingerprint (the same key
+      ``exact_dedup`` uses — identical normalized text ⇒ identical
+      shingle set ⇒ identical signature, bands and Jaccard), band /
+      verify REPRESENTATIVES only, then re-expand: cross-cluster member
+      pairs inherit the verified representative Jaccard, within-cluster
+      pairs are 1.0 by construction (clusters whose text normalizes to
+      empty yield no shingles and therefore no pairs, exactly like the
+      raw path).  The collapse shuffle carries (fp, doc_id) plus ONE
+      text per (partition, fp) — min_by's map-side partial — never the
+      full corpus text.
+    * **Banding / verification** over representatives is unchanged: the
+      candidate join is an equi-join on (band, bucket), the exact-verify
+      join touches candidate pairs only.
+
+    ``persist_shingles`` caches the exploded representative-shingle frame
+    (read 3×: signatures, verify-a, verify-b) plus the small collapse
+    frames (reps, members).  At extreme corpus sizes where the exploded
+    shingles (~10× the text bytes) would thrash the disk cache, pass
+    False to trade two extra tokenizer scans for zero spill."""
     from pyspark import StorageLevel
 
-    sh = word_shingles(df, text_col, n)
+    # --- exact-duplicate collapse ---------------------------------
+    keyed = df.select(F.col("doc_id"),
+                      F.col(text_col).alias("__mh_text"),
+                      F.md5(normalize_text(F.col(text_col))).alias("fp"))
+    reps = (keyed.groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("__mh_text", "doc_id").alias("__mh_text")))
+    if persist_shingles:
+        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+    # cluster map: representative id per input doc (join on the 32-char
+    # fingerprint, never the text)
+    members = (keyed.select("fp", "doc_id")
+               .join(reps.select("fp", F.col("doc_id").alias("rid")), "fp")
+               .select("rid", "doc_id"))
+    if persist_shingles:
+        members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    rep_docs = reps.select("doc_id", F.col("__mh_text").alias(text_col))
+
+    sh = word_shingles(rep_docs, text_col, n)
     if persist_shingles:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(df, text_col, n, shingles=sh)
+    sigs = minhash_signatures(rep_docs, text_col, n, shingles=sh)
     bands = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -168,12 +209,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                       F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") /
-                (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard"))
+    rep_pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
+                 .withColumn("jaccard", F.round(
+                     F.col("inter") /
+                     (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+
+    # --- re-expand duplicate clusters -----------------------------
+    # cross-cluster: every member of a × every member of b carries the
+    # verified representative Jaccard (identical shingle sets)
+    ma = members.select(F.col("rid").alias("doc_a"),
+                        F.col("doc_id").alias("ma_id"))
+    mb = members.select(F.col("rid").alias("doc_b"),
+                        F.col("doc_id").alias("mb_id"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("ma_id", "mb_id").alias("doc_a"),
+                     F.greatest("ma_id", "mb_id").alias("doc_b"),
+                     "jaccard"))
+    # within-cluster: Jaccard 1.0 by construction; clusters whose rep has
+    # no shingles (empty normalized text) never pair, like the raw path
+    nonempty = sizes.select(F.col("doc_id").alias("rid"))
+    w1 = members.select("rid", F.col("doc_id").alias("doc_a"))
+    w2 = members.select("rid", F.col("doc_id").alias("doc_b"))
+    within = (w1.join(w2, "rid")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .join(nonempty, "rid", "left_semi")
+              .select("doc_a", "doc_b",
+                      F.round(F.lit(1.0), 6).alias("jaccard")))
+    if threshold > 1.0:
+        within = within.filter(F.col("jaccard") >= threshold)
+    return cross.unionByName(within)
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -129,6 +129,16 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def _vec_key(col):
+    """8-byte exact-duplicate collapse key (xxhash64 of the vector): the
+    collapse shuffle carries the hash, not the raw array, at 100 TB.
+    Collision-safe at the call site — cosine_dup_pairs re-checks true
+    vector equality against the representative and re-collapses the
+    (astronomically unlikely) losers by the raw vector; tests force a
+    collision by monkeypatching this to a constant."""
+    return F.xxhash64(col)
+
+
 def derive_band_bits(n: int) -> int:
     """Scale-adaptive band width for cosine_dup_pairs.  Random
     (non-duplicate) vectors collide in a band with probability
@@ -141,8 +151,45 @@ def derive_band_bits(n: int) -> int:
     bands cost recall per band; the caller recovers recall by raising
     n_bands (recall ≈ 1-(1-p**band_bits)**n_bands for per-bit agreement
     probability p = 1 - angle/pi), which scales compute linearly instead
-    of quadratically."""
+    of quadratically — derive_lsh_params does that jointly."""
     return max(2, math.ceil(math.log2(max(n, 4))) - 3)
+
+
+def derive_lsh_params(n: int, threshold: float, recall_target: float = 0.9,
+                      max_bands: int = 64) -> tuple[int, int, float]:
+    """Joint (band_bits, n_bands, achieved_recall) for cosine_dup_pairs'
+    auto mode (``band_bits=None``).
+
+    band_bits follows derive_band_bits (keeps the random-collision
+    candidate load LINEAR in the distinct-vector count n).  n_bands is
+    then grown to hold ``recall_target`` for pairs AT the query
+    threshold: a pair at cosine s collides in one band with probability
+    p**band_bits (p = 1 - acos(s)/pi per hyperplane), so
+
+        n_bands = ceil( ln(1-recall_target) / ln(1-p**band_bits) )
+
+    floored at 8 and capped at ``max_bands`` — beyond the cap, plane
+    compute and candidate volume grow faster than recall.  When the cap
+    binds, the returned achieved_recall < recall_target is the
+    documented RECALL FLOOR of the auto path at that scale: borderline
+    pairs (cosine ≈ threshold) are found with that probability, while
+    higher-similarity pairs converge to certainty (p → 1) and exact
+    duplicates are found always (the collapse catches them before
+    banding)."""
+    band_bits = derive_band_bits(n)
+    s = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(s) / math.pi
+    pb = p ** band_bits
+    if pb >= 1.0:
+        need = 1
+    elif pb <= 1e-12:
+        need = max_bands
+    else:
+        need = math.ceil(math.log(1.0 - recall_target) /
+                         math.log(1.0 - pb))
+    n_bands = min(max(8, need), max_bands)
+    achieved = 1.0 - (1.0 - pb) ** n_bands
+    return band_bits, n_bands, achieved
 
 
 def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
@@ -168,17 +215,39 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
     * **Band width grows with the distinct count.**  Random vectors
       spread over 2**band_bits buckets per band → candidate load
       ~ n_bands * D**2 / 2**(band_bits+1) for D distinct vectors; see
-      derive_band_bits for the log2(D)-based rule and the
-      recall/n_bands tradeoff.  The 4-bit default suits distinct counts
-      up to ~50k; pass ``band_bits=None`` to derive it (one extra
-      action)."""
+      derive_band_bits for the log2(D)-based rule.  The 4-bit default
+      suits distinct counts up to ~50k; pass ``band_bits=None`` to
+      derive BOTH band_bits AND n_bands jointly (derive_lsh_params —
+      n_bands then holds a 0.9 recall target at the threshold, capped
+      at 64 bands; one extra count action) — the explicit ``n_bands``
+      argument is ignored in that mode."""
     vv = vectors.select(F.col(id_col).alias("vid"),
                         F.col(vec_col).alias("emb"))
-    # collapse exact dupes: representative id + members per distinct
-    # vector (groupBy on the array column — one keys-only shuffle)
-    reps = vv.groupBy("emb").agg(F.min("vid").alias("vid"))
+    # collapse exact dupes to a representative id per distinct vector.
+    # The collapse shuffle is keyed by _vec_key (xxhash64 — 8 bytes on
+    # the wire, not the raw array); min_by's map-side partial ships one
+    # vector per (partition, key).  Hash collisions cannot corrupt the
+    # output: members re-join by the hash and are CHECKED for true
+    # vector equality against the representative — mismatches (a 2**-64
+    # event, forced in tests by monkeypatching _vec_key) re-collapse by
+    # the raw vector, a wide-key shuffle over an almost-always-empty
+    # frame.
+    tagged = vv.withColumn("vkey", _vec_key(F.col("emb")))
+    hreps = tagged.groupBy("vkey").agg(
+        F.min("vid").alias("rid"), F.min_by("emb", "vid").alias("remb"))
+    joined = tagged.join(hreps, "vkey")
+    eq = F.col("emb") == F.col("remb")
+    mism = joined.filter(~eq)
+    mreps = mism.groupBy("emb").agg(F.min("vid").alias("rid"))
+    reps = (hreps.select("rid", F.col("remb").alias("emb"))
+            .unionByName(mreps.select("rid", "emb"))
+            .withColumnRenamed("rid", "vid"))
+    # cluster map: representative id per input id
+    members = (joined.filter(eq).select(F.col("rid"), F.col("vid"))
+               .unionByName(mism.select("emb", "vid")
+                            .join(mreps, "emb").select("rid", "vid")))
     if band_bits is None:
-        band_bits = derive_band_bits(reps.count())
+        band_bits, n_bands, _ = derive_lsh_params(reps.count(), threshold)
     planes = _hyperplanes(dim, n_bands * band_bits)
 
     def band_cols(emb):
@@ -234,10 +303,7 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float = 0.30,
                  .filter(F.col("cosine") >= threshold)
                  .select("rid_a", "a_emb", "rid_b", "cosine"))
 
-    # expand duplicate clusters back to id pairs.  members: every input
-    # id tagged with its cluster representative (join on the vector)
-    members = (vv.join(reps.withColumnRenamed("vid", "rid"), "emb")
-               .select("rid", "vid"))
+    # expand duplicate clusters back to id pairs via the members map.
     # cross-cluster: every member of a × every member of b — the
     # verified rep-level cosine applies to all of them (identical vecs)
     ma, mb = members.alias("ma"), members.alias("mb")
@@ -272,10 +338,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     the nearest centroid; queries probe the nprobe nearest cells and
     rerank exactly within them.  Approximate by design — the 100 TB path
     where brute force is too wide."""
-    seed_w = Window.orderBy(id_col)
-    seeds = (vectors.orderBy(id_col).limit(n_cells)
-             .select((F.row_number().over(seed_w) - 1).alias("cell"),
-                     F.col(vec_col).alias("c_emb")))
+    from pyspark.sql import types as T
+
+    # seeds are enumerated DRIVER-side (collect of n_cells rows): a
+    # row_number window over the unpartitioned seed frame would be a
+    # single-partition WindowExec — harmless at 16 rows but its warning
+    # drowns out real ones (a literal partitionBy key gets folded away
+    # by Catalyst, so the explicit enumeration is the quiet exact form)
+    seed_rows = (vectors.orderBy(id_col).limit(n_cells)
+                 .select(F.col(vec_col)).collect())
+    seeds = vectors.sparkSession.createDataFrame(
+        [(i, r[0]) for i, r in enumerate(seed_rows)],
+        T.StructType([
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("c_emb", vectors.schema[vec_col].dataType)]))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("v_emb"))
     # assign each vector to nearest seed (broadcast seeds)

@@ -65,6 +65,29 @@ def test_minhash_lsh_matches_exact_pairs(docs):
     assert lsh == exact  # verify-after-LSH makes it exact at this scale
 
 
+def test_minhash_lsh_collapse_expansion_values(spark, docs):
+    """The exact-duplicate collapse + cluster re-expansion reproduces the
+    all-pairs jaccard VALUES (not just the pair set) on a corpus with
+    fanned-out duplicate clusters, and an all-whitespace duplicate
+    cluster (zero shingles) yields no pairs — exactly like the raw
+    all-pairs path."""
+    from sagan_spark.functions.dedup import (minhash_lsh_pairs,
+                                             ngram_jaccard_pairs)
+    fan1 = (docs.filter(F.col("doc_id").isin([0, 2]))
+            .withColumn("doc_id", F.col("doc_id") + 10))
+    fan2 = fan1.withColumn("doc_id", F.col("doc_id") + 10)
+    blanks = spark.createDataFrame([(30, "   "), (31, " ")],
+                                   "doc_id long, text string")
+    corpus = docs.unionByName(fan1).unionByName(fan2).unionByName(blanks)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    assert lsh == exact
+    assert not any(30 in p or 31 in p for p in lsh)
+    assert any(a >= 10 or b >= 10 for a, b in lsh)   # expansion happened
+
+
 def test_simhash_near_dups(docs):
     from sagan_spark.functions.dedup import simhash_near_dups
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
@@ -183,19 +206,72 @@ def test_derive_band_bits_scales_with_corpus():
 
 
 def test_cosine_dup_pairs_auto_band_bits(vecs):
-    """band_bits=None derives from the corpus count and still verifies
-    exactly (no false positives)."""
+    """band_bits=None derives (band_bits, n_bands) jointly, still
+    verifies exactly (no false positives) AND holds recall: at this
+    corpus size the derived plan's closed-form recall at the threshold
+    is ~1 (derive_lsh_params targets 0.9), so the auto path must find
+    ≥ 0.9 of the true pairs — the round-4 advice gap (precision-only
+    testing hid an n_bands-stuck-at-8 recall collapse)."""
     import numpy as np
     from sagan_spark.functions.similarity import cosine_dup_pairs
     got = cosine_dup_pairs(vecs, threshold=0.9, dim=16,
                            band_bits=None).collect()
     data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
             for r in vecs.collect()}
+    truth = set()
+    for i in data:
+        for j in data:
+            if i < j:
+                c = round(float(np.dot(data[i], data[j]) /
+                                (np.linalg.norm(data[i]) *
+                                 np.linalg.norm(data[j]))), 6)
+                if c >= 0.9:
+                    truth.add((i, j))
+    mine = set()
     for r in got:
         a, b = data[r["id_a"]], data[r["id_b"]]
         c = round(float(np.dot(a, b) /
                         (np.linalg.norm(a) * np.linalg.norm(b))), 6)
         assert c >= 0.9 and r["id_a"] < r["id_b"]
+        mine.add((r["id_a"], r["id_b"]))
+    assert truth and len(mine & truth) / len(truth) >= 0.9
+
+
+def test_derive_lsh_params_recall_target_and_floor():
+    """n_bands is derived JOINTLY with band_bits: where the 64-band cap
+    does not bind, closed-form recall at the threshold meets the 0.9
+    target; where it binds (huge corpus × low threshold) the achieved
+    recall is RETURNED as the documented floor instead of silently
+    running the 8-band default."""
+    import math
+    from sagan_spark.functions.similarity import derive_lsh_params
+    bb, nb, rec = derive_lsh_params(50_000, 0.8)
+    assert 8 <= nb <= 64 and rec >= 0.9
+    bb, nb, rec = derive_lsh_params(200_000, 0.30)
+    assert nb == 64 and 0.0 < rec < 0.9      # cap binds -> honest floor
+    p = 1.0 - math.acos(0.30) / math.pi
+    assert abs(rec - (1.0 - (1.0 - p ** bb) ** nb)) < 1e-9
+
+
+def test_cosine_dup_collapse_collision_safe(vecs, monkeypatch):
+    """The exact-duplicate collapse keys its shuffle by xxhash64 of the
+    vector (8 bytes on the wire at 100 TB, not the raw array).  A hash
+    collision must not corrupt the output: force EVERY vector (including
+    real duplicate clusters) onto ONE hash key by monkeypatching
+    _vec_key and assert the result — pairs AND cosines — is identical
+    to the unpatched run (the representative-equality check re-collapses
+    the losers by the raw vector)."""
+    from sagan_spark.functions import similarity as S
+    dups = (vecs.filter(F.col("vec_id") < 5)
+            .withColumn("vec_id", F.col("vec_id") + 100))
+    corpus = vecs.unionByName(dups)
+    want = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            S.cosine_dup_pairs(corpus, threshold=0.9, dim=16).collect()}
+    monkeypatch.setattr(S, "_vec_key",
+                        lambda col: F.lit(0).cast("long"))
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+           S.cosine_dup_pairs(corpus, threshold=0.9, dim=16).collect()}
+    assert want and got == want
 
 
 def test_ivf_topk_runs(vecs):
