@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -21,9 +23,32 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _commit() -> str:
+    try:
+        return subprocess.run(["git", "-C", REPO, "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — per-rep hw co-tenancy."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    # reps > 1 (median-of-reps) is for the dedicated sf10 artifact runs —
+    # this VM shares CPU with co-tenants, so a single rep can be off 2×;
+    # the per-round sf0.1 driver run stays 1 rep (fixed-cost dominated)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     import __spark_entry__ as E
@@ -55,31 +80,62 @@ def main() -> int:
         lambda it: it, schema="id long").count()
     n_turns = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
-    times: dict[str, float] = {}
+    series: list[dict] = []
     rows: dict[str, int] = {}
-    for name in headline:
-        # isolate queries: leftover persisted frames from a previous query
-        # would otherwise skew (or accidentally accelerate) later ones
-        spark.catalog.clearCache()
-        t0 = time.time()
-        rows[name] = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+    for _rep in range(reps):
+        rep_times: dict[str, float] = {}
+        s0, j0 = _steal_jiffies()
+        for name in headline:
+            # isolate queries: leftover persisted frames (or an entry
+            # memo populated by an earlier query/rep) would otherwise
+            # skew — or accidentally accelerate — later measurements
+            E.clear_entry_caches()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            rows[name] = qs[name](spark, sf_dir).count()
+            rep_times[name] = round(time.time() - t0, 3)
+        s1, j1 = _steal_jiffies()
+        series.append({
+            "queries": rep_times,
+            "total_sec": round(sum(rep_times.values()), 3),
+            "steal_pct": round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2),
+        })
 
-    total = round(sum(times.values()), 3)
+    # headline numbers are MEDIANS across reps (never the best window —
+    # this host shares CPU; the same rule BASELINE.md applies to the
+    # scaling series), with the full series carried alongside
+    times = {name: round(statistics.median(
+        r["queries"][name] for r in series), 3) for name in headline}
+    total = round(statistics.median(r["total_sec"] for r in series), 3)
     turns_per_sec = round(n_turns / max(times["pipeline_alerts"], 1e-9))
 
     # sf10 block: the 10M-turn walls where the engine exits fixed cost
     # and actually differentiates (sf0.1 is session/stage fixed-cost
     # dominated, per the note below).  Embedded from the most recent
     # dedicated sf10 run on this host (refresh:
-    # SPARK_GRAFT_SF_DIR=/tmp/sf10 python bench.py > BENCH/bench_sf10.json
-    # after tools/gen_sf.py 10) unless THIS run is already at sf >= 10.
+    # SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_BENCH_REPS=3 python bench.py
+    # > BENCH/bench_sf10.json after tools/gen_sf.py 10 — reps >= 3 so the
+    # medians are real) unless THIS run is already at sf >= 10.
     sf10_block = None
     sf10_path = os.path.join(REPO, "BENCH", "bench_sf10.json")
     if sf < 10 and os.path.exists(sf10_path):
         try:
             with open(sf10_path) as f:
                 prior = json.load(f)
+            # provenance: a bench_sf10.json produced by a reps>1 run
+            # self-records the producing commit + measurement timestamp;
+            # older artifacts fall back to file mtime, labeled as such
+            # (mtime is checkout/copy time, NOT measurement time)
+            if prior.get("measured_at"):
+                src = ("BENCH/bench_sf10.json, measured at "
+                       f"{prior['measured_at']} by commit "
+                       f"{prior.get('commit', 'unknown')[:12]}")
+            else:
+                src = ("BENCH/bench_sf10.json — no recorded provenance; "
+                       "file mtime (checkout/copy time, NOT measurement "
+                       "time) is " + time.strftime(
+                           "%Y-%m-%dT%H:%M:%SZ",
+                           time.gmtime(os.path.getmtime(sf10_path))))
             sf10_block = {
                 "queries": prior.get("queries"),
                 "total_sec": prior.get("value"),
@@ -87,12 +143,12 @@ def main() -> int:
                 "pipeline_turns_per_sec": prior.get(
                     "pipeline_turns_per_sec"),
                 "cpus": prior.get("cpus"),
+                "reps": prior.get("reps"),
+                **({"series": prior["series"]} if "series" in prior
+                   else {}),
                 **({"reps_note": prior["reps_note"]}
                    if "reps_note" in prior else {}),
-                "source": "BENCH/bench_sf10.json, measured on this host "
-                          "at mtime " + time.strftime(
-                              "%Y-%m-%dT%H:%M:%SZ",
-                              time.gmtime(os.path.getmtime(sf10_path))),
+                "source": src,
             }
         except (OSError, ValueError):
             sf10_block = None
@@ -108,6 +164,10 @@ def main() -> int:
         "n_turns": n_turns,
         "pipeline_turns_per_sec": turns_per_sec,
         "cpus": cpus,
+        "reps": reps,
+        "series": series,
+        "commit": _commit(),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **({"sf10": sf10_block} if sf10_block else {}),
         "note": "sf0.1 walls are Spark session/stage fixed-cost dominated "
                 "at 100k turns; the representative throughput and the "

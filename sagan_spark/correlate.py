@@ -211,9 +211,25 @@ def single_key_per_row(ruleset: RuleSet) -> bool:
     validator already rejects cross-clause rules, so the only multi-key
     shape left is after + threshold with DIFFERENT track sets on one
     rule (after_key != thresh_key row-wise → two keyed stages)."""
-    return all(not (r.after and r.threshold
-                    and r.after.tracks != r.threshold.tracks)
-               for r in ruleset.rules)
+    return not dual_track_rules(ruleset)
+
+
+def dual_track_rules(ruleset: RuleSet) -> list[int]:
+    """rule_idx of rules carrying after AND threshold with DIFFERENT
+    track sets — the one IP-keyed shape whose two state keys differ
+    row-wise (after.c:113-117 and threshold.c:118-121 each key by their
+    own track value).  The batch engine runs these through the staged
+    fallback (two keyed stages, each parallel over its track keyspace);
+    the composite key routes them to ONE group per sid ("d"<GSEP>sid in
+    general_group_key_col) — both stores are sid-scoped, so a per-sid
+    group co-locates every row either store can touch and the unified
+    fold reproduces engine order exactly.  Per-sid grouping serializes
+    the rule's rows through one partition/state group, which is the
+    price of single-pass semantics; streaming (which cannot chain two
+    stateful operators) takes it, batch prefers the staged stages."""
+    return [i for i, r in enumerate(ruleset.rules)
+            if r.after and r.threshold
+            and r.after.tracks != r.threshold.tracks]
 
 
 def flex_subkey_modes(ruleset: RuleSet) -> dict[int, str]:
@@ -268,10 +284,17 @@ def general_group_key_col(ruleset: RuleSet):
                                   a `count` clause couples all groups
                                   into one, so name-agnostic tallies
                                   stay single-group
+      d<GSEP>sid                — after + threshold with DIFFERENT
+                                  tracks on one rule (dual_track_rules):
+                                  the row carries TWO state keys, so the
+                                  group is the sid itself — both stores
+                                  are sid-scoped, making the per-sid
+                                  group the finest key that co-locates
+                                  all state either store can touch
       a<GSEP>sid<GSEP>track-key — after/threshold state (after.c:113-117
                                   / threshold.c:118-121 key by sid +
-                                  track value; single_key_per_row
-                                  guarantees one value per row)
+                                  track value; one value per row for
+                                  every non-dual-track rule)
 
     NULL for rows touching no store (stateless rules, or stateful rules
     whose track value is missing — the staged path passes those through
@@ -303,6 +326,16 @@ def general_group_key_col(ruleset: RuleSet):
                .otherwise(F.lit("")))
         expr = expr.when(F.col("rule_idx").isin(list(fgroups)),
                          F.concat_ws(GSEP, F.lit("f"), grp, sub))
+    dual = dual_track_rules(ruleset)
+    if dual:
+        # keyed by sid (not rule_idx): a sibling rule sharing a dual
+        # rule's sid shares its (sid,*)-keyed stores and must land in
+        # the same group
+        dual_sids = sorted({ruleset.rules[i].sid for i in dual})
+        expr = expr.when(
+            F.col("sid").isin(dual_sids) &
+            F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
+            F.concat_ws(GSEP, F.lit("d"), F.col("sid").cast("string")))
     expr = expr.when(
         F.coalesce(F.col("after_key"), F.col("thresh_key")).isNotNull(),
         F.concat_ws(GSEP, F.lit("a"), F.col("sid").cast("string"),

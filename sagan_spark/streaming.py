@@ -31,9 +31,10 @@ Key routing mirrors the batch engine's two paths:
   conv_id running the unified engine-order fold;
 * IP-extracted keys (the reference's primary deployment mode) → the
   STAGED-GENERAL streaming path: outside the fast path the validator
-  rejects cross-clause rules, so every matched row touches exactly ONE
-  store and carries a single composite state key ("x"+xbit_key,
-  "f"+flexbit name-group, or "a"+sid+track-value); one
+  rejects cross-clause rules, so every matched row carries a single
+  composite state key ("x"+xbit_key, "f"+flexbit name-group,
+  "a"+sid+track-value, or — for after+threshold with DIFFERENT tracks
+  on one rule, whose two stores are both sid-scoped — "d"+sid); one
   applyInPandasWithState keyed by that composite dispatches the per-kind
   fold — the streaming analog of the batch path's per-stage _run_stage
   shuffles.  Stateless rows bypass state entirely (filter + union).
@@ -62,7 +63,6 @@ from .correlate import (
     apply_fold_to_batches,
     conv_keyed_only,
     general_group_key_col,
-    single_key_per_row,
     unified_fold,
     validate_ruleset_for_spark,
 )
@@ -202,7 +202,7 @@ def _stateful_correlator(ruleset: RuleSet, timeout_ms: int = 0,
 # staged-general streaming path (IP-extracted keys, SURVEY §2.9 on the
 # reference's primary deployment mode).  Group key + precondition are
 # SHARED with the batch composite-key path (correlate.general_group_key_col
-# / single_key_per_row), and the fold is the same unified engine-order
+# / dual_track_rules), and the fold is the same unified engine-order
 # fold — batch and streaming cannot diverge on general-path semantics.
 # ---------------------------------------------------------------------------
 
@@ -282,18 +282,19 @@ def streaming_alerts(spark, transcripts_stream, ruleset: RuleSet,
     # ONLY cross-conv state is 'none'-direction flexbit sharing
     # (flexbit-mmap.c:124 matches any src/dst) route through a single
     # global group; IP-extracted keys take the staged-general composite
-    # key (one store per row — validator-guaranteed)
+    # key (one state group per row; dual-track rules get a per-sid group)
     if conv_keyed_only(ruleset):
         group_col = None
     elif conv_keyed_only(ruleset, ignore_none_flexbits=True):
         group_col = "_grp"
     else:
+        # after+threshold with DIFFERENT tracks on one rule (the batch
+        # staged-fallback shape) also streams: general_group_key_col
+        # routes those rules' rows to one "d"+sid group — both stores
+        # are sid-scoped, so a per-sid group co-locates all state either
+        # can touch, at the cost of serializing that rule's rows through
+        # one state group (streaming cannot chain two stateful stages)
         group_col = "_gkey"
-        if not single_key_per_row(ruleset):
-            raise ValueError(
-                "after and threshold with different tracks on one "
-                "IP-keyed rule need two keyed stages — batch-only "
-                "(the batch staged path in correlate.py)")
     if state_timeout_ms is None:
         state_timeout_ms = default_state_timeout_ms(ruleset)
     parsed = parse_transcripts(transcripts_stream)

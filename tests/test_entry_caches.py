@@ -48,3 +48,23 @@ def test_ip_correlated_df_memoized(spark):
     b = entry._ip_correlated_df(spark, SF)
     assert a is b
     entry.clear_entry_caches()
+
+
+def test_cache_keyed_by_application_id_and_evicts_dead(spark):
+    """Cache keys use the context's applicationId (unique per context
+    lifetime — id(spark) can be REUSED by CPython after a session is
+    GC'd, handing a new session a stale frame bound to a dead context),
+    and entries whose session has stopped are evicted on access."""
+    assert entry._cache_key(spark, SF) == (
+        spark.sparkContext.applicationId, SF)
+
+    class DeadSession:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("SparkContext was stopped")
+
+    entry._IP_CORR_CACHE[("app-dead", SF)] = (DeadSession(), object())
+    live = entry._ip_correlated_df(spark, SF)   # access runs eviction
+    assert ("app-dead", SF) not in entry._IP_CORR_CACHE
+    assert live is entry._ip_correlated_df(spark, SF)
+    entry.clear_entry_caches()

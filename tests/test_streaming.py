@@ -117,20 +117,35 @@ def test_stream_ipkeys_equal_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(batch, stream)
 
 
-def test_streaming_rejects_mismatched_after_thresh_tracks(spark, tmp_path):
-    """The one IP-keyed shape streaming can't key with a single composite:
-    after and threshold with DIFFERENT track sets on one rule (two keyed
-    stages — batch-only)."""
+def test_stream_dual_track_equal_batch(spark, tmp_path):
+    """after + threshold with DIFFERENT tracks on one rule — the batch
+    STAGED-fallback shape (two keyed stages) — streams through a per-sid
+    "d"-composite state group (both stores are sid-scoped) and must
+    reproduce the batch result exactly, with both suppression kinds
+    actually flipping."""
     from sagan_spark.rules.compiler import compile_ruleset
     rs = compile_ruleset(
-        'alert syslog any any -> any any (msg:"x"; content:"a"; '
-        "parse_src_ip: 1; after: track by_src, count 2, seconds 60; "
-        "threshold: type limit, track by_dst, count 2, seconds 60; "
+        'alert syslog any any -> any any (msg:"dual"; '
+        'content:"connection from"; parse_src_ip: 1; '
+        "after: track by_src, count 2, seconds 604800; "
+        "threshold: type limit, track by_dst, count 2, seconds 604800; "
         "classtype:misc-attack; sid:9; rev:1;)")
-    empty = str(tmp_path / "empty_in")
-    os.makedirs(empty, exist_ok=True)
-    with pytest.raises(ValueError):
-        streaming_alerts(spark, read_transcript_stream(spark, empty), rs)
+    from sagan_spark.correlate import single_key_per_row
+    assert not single_key_per_row(rs)   # batch takes the staged fallback
+    rows = gen_rows(12)
+    # a 3-address src pool recurring across convs: the after store (by
+    # extracted src) and the threshold store (by conv-fallback dst) both
+    # accumulate real counts and disagree row-wise
+    for i, r in enumerate(rows):
+        r["text"] = f"connection from 10.0.0.{i % 3} port 80"
+    in_dir = str(tmp_path / "stream_dual")
+    _write_chunks(spark, rows, in_dir, n_chunks=3)
+    batch = _batch_result(spark, rows, rs)
+    stream = _stream_result(spark, in_dir, rs, max_files=1)
+    assert batch["suppress_after"].any()
+    assert batch["suppress_thresh"].any()
+    assert not batch["suppress_thresh"].all()
+    pd.testing.assert_frame_equal(batch, stream)
 
 
 def test_default_state_timeout(ruleset):

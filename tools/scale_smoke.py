@@ -29,12 +29,22 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _commit() -> str:
+    try:
+        return subprocess.run(["git", "-C", REPO, "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 # required explanation for any expected non-ok result (the contract)
 EXPLANATIONS: dict[str, str] = {
@@ -66,6 +76,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
     only = set(sys.argv[3:])
+    commit = _commit()
 
     import __spark_entry__ as E
     from sagan_spark.session import get_spark
@@ -102,6 +113,14 @@ def main() -> int:
             r = {"status": "ok", "rows": out["rows"], "wall": out["wall"]}
         if r["status"] != "ok" and name in EXPLANATIONS:
             r["explanation"] = EXPLANATIONS[name]
+        # per-entry provenance: partial re-runs merge into the prior
+        # artifact, so each entry must carry its OWN measurement
+        # conditions (commit, timeout, timestamp) — a single artifact
+        # header would misattribute surviving entries to the new run
+        r["commit"] = commit
+        r["timeout_sec"] = timeout
+        r["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                         time.gmtime())
         results[name] = r
         print(f"{r['status']:>8} {name}: {r}", flush=True)
 
@@ -121,15 +140,31 @@ def main() -> int:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "scale_smoke.json")
     if only and os.path.exists(path):
-        # partial re-run: merge into the existing artifact (same sf_dir)
+        # partial re-run: merge into the existing artifact (same sf_dir).
+        # Surviving entries keep their OWN per-entry provenance; a
+        # timeout mismatch is loudly flagged (entries measured under a
+        # different watchdog are not comparable as ok/TIMEOUT verdicts)
         with open(path) as f:
             prior = json.load(f)
         if prior.get("sf_dir") == sf_dir:
+            prior_timeouts = {r.get("timeout_sec",
+                                    prior.get("timeout_sec"))
+                              for r in prior.get("results", {}).values()}
+            if prior_timeouts - {timeout}:
+                print(f"WARNING: merging entries measured under "
+                      f"timeout_sec {sorted(prior_timeouts)} into a "
+                      f"{timeout}s run — per-entry provenance applies",
+                      file=sys.stderr)
             merged = dict(prior.get("results", {}))
             merged.update(results)
             results = merged
     with open(path, "w") as f:
         json.dump({"sf_dir": sf_dir, "timeout_sec": timeout,
+                   "commit": commit,
+                   "provenance": "per-entry: each result carries the "
+                                 "commit/timeout_sec/measured_at it was "
+                                 "measured under (merged partial re-runs "
+                                 "keep their original conditions)",
                    "cache_model": "cleared at MEMO_FAMILIES boundaries "
                                   "(driver-session-faithful)",
                    "results": results}, f, indent=1)
