@@ -377,6 +377,12 @@ def clear_entry_caches() -> None:
         if _session_live(sess):
             df.unpersist()
     _IP_CORR_CACHE.clear()
+    for frame in _LOOSE_PERSISTS:
+        try:
+            frame.unpersist()
+        except Exception:   # frame's session already stopped
+            pass
+    _LOOSE_PERSISTS.clear()
 
 
 def _matches_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +622,41 @@ def _q_correlate_flexbit_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flexbit-mmap.c:116-318,637)."""
     return (_ip_correlated_df(spark, sf_dir).filter(F.col("sid") == 6400005)
             .select("conv_id", "turn_idx", "flexbit_pass"))
+
+
+# staged-fallback stage persists from one-shot (un-memoized) queries —
+# registered here so clear_entry_caches releases them with everything else
+_LOOSE_PERSISTS: list = []
+
+
+def _dual_ruleset():
+    from sagan_spark.rules.compiler import compile_ruleset
+    return compile_ruleset(
+        'alert syslog any any -> any any (msg:"dual track"; '
+        'content:"connection from"; parse_src_ip: 1; '
+        "after: track by_src, count 1, seconds 604800; "
+        "threshold: type limit, track by_dst, count 1, seconds 604800; "
+        "classtype:misc-attack; sid:6500001; rev:1;)")
+
+
+def _q_correlate_dual_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 with DIFFERENT tracks on ONE rule: after keyed by the
+    extracted src (after.c:113-117), threshold keyed by the conv-fallback
+    dst (threshold.c:118-121), coupled by engine order — after-suppressed
+    rows never reach the threshold counter (engine.c:1528).  Batch takes
+    the STAGED fallback (two keyed stages, correlate.py); streaming runs
+    the same rule through the per-sid "d"-composite group and is
+    batch-equality-tested (test_stream_dual_track_equal_batch)."""
+    from sagan_spark.correlate import run_correlate, single_key_per_row
+    from sagan_spark.match import run_match
+    from sagan_spark.parse import parse_transcripts
+    rs = _dual_ruleset()
+    assert not single_key_per_row(rs)   # must exercise the staged path
+    parsed = parse_transcripts(_transcripts(spark, sf_dir))
+    corr = run_correlate(run_match(parsed, rs), rs,
+                         persists=_LOOSE_PERSISTS)
+    return corr.select("conv_id", "turn_idx", "epoch",
+                       "suppress_after", "suppress_thresh")
 
 
 def _q_normalize_liblognorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1616,6 +1657,50 @@ SELECT conv_id, turn_idx, epoch, ip AS ip_src, sup AS suppress_thresh
 FROM trec
 """
 
+# dual-track after+threshold on ONE rule: the after fold runs per
+# extracted src (recursive CTE, identical recurrence to correlate_after_ip
+# with count 1 / 7d window); the threshold fold then runs per conv-fallback
+# dst over ONLY the rows the after stage let through (engine.c:1528 —
+# after-suppressed rows never reach the threshold counter), rolling anchor
+# per threshold.c:131; rows suppressed by after re-join with
+# suppress_thresh = FALSE
+_ORACLES["correlate_dual_ip"] = f"""
+WITH RECURSIVE {_IPM},
+aord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+           ORDER BY epoch, conv_id, turn_idx) AS rn FROM im),
+arec AS (
+  SELECT ip, conv_id, turn_idx, rn, epoch, 1 AS cnt, epoch AS utime,
+         TRUE AS sup
+  FROM aord WHERE rn = 1
+  UNION ALL
+  SELECT a.ip, a.conv_id, a.turn_idx, a.rn, a.epoch,
+         CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1 ELSE q.cnt + 1 END,
+         CASE WHEN (CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1
+                         ELSE q.cnt + 1 END) > 1 THEN a.epoch
+              WHEN a.epoch - q.utime > {_S_A7} THEN a.epoch
+              ELSE q.utime END,
+         ((CASE WHEN a.epoch - q.utime > {_S_A7} THEN 1
+                ELSE q.cnt + 1 END) <= 1)
+  FROM aord a JOIN arec q ON a.ip = q.ip AND a.rn = q.rn + 1),
+tord AS (SELECT conv_id, turn_idx, epoch, ROW_NUMBER() OVER (
+           PARTITION BY conv_id ORDER BY epoch, conv_id, turn_idx) AS rn2
+         FROM arec WHERE NOT sup),
+trec AS (
+  SELECT conv_id, turn_idx, rn2, epoch, 1 AS cnt, FALSE AS sup_t
+  FROM tord WHERE rn2 = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.rn2, b.epoch,
+         CASE WHEN b.epoch - q.epoch > {_S_A7} THEN 1 ELSE q.cnt + 1 END,
+         ((CASE WHEN b.epoch - q.epoch > {_S_A7} THEN 1
+                ELSE q.cnt + 1 END) > 1)
+  FROM tord b JOIN trec q ON b.conv_id = q.conv_id AND b.rn2 = q.rn2 + 1)
+SELECT a.conv_id, a.turn_idx, a.epoch,
+       a.sup AS suppress_after,
+       COALESCE(t.sup_t, FALSE) AS suppress_thresh
+FROM arec a
+LEFT JOIN trec t ON a.conv_id = t.conv_id AND a.turn_idx = t.turn_idx
+"""
+
 # xbit track ip_pair: key = extracted src | conv dst; every im row is both
 # the isset row (sid 6400003, lower rule_idx — evaluated first) and the
 # set row (sid 6400004), so the last PRIOR im row of the same (ip, conv)
@@ -2012,6 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlate_threshold_ip": _q_correlate_threshold_ip,
         "correlate_xbit_pair": _q_correlate_xbit_pair,
         "correlate_flexbit_ip": _q_correlate_flexbit_ip,
+        # round-5: after+threshold with DIFFERENT tracks on one rule (the
+        # staged-fallback shape, now also streamable via the "d"+sid group)
+        "correlate_dual_ip": _q_correlate_dual_ip,
         "blacklist_gate": _q_blacklist_gate,
         "match_facility_quirk": _q_match_facility_quirk,
         "match_level_gate": _q_match_level_gate,
@@ -2031,7 +2119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 operator surface
         "correlate_flexbit": _q_correlate_flexbit,
         "flexbit_count": _q_flexbit_count,
-        "geoip_gate": _q_geoip_gate,
         "enrich_references": _q_enrich_references,
         "fast_sink": _q_fast_sink,
         "unified2_table": _q_unified2_table,
@@ -2054,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_json_map": _q_parse_json_map,
         "embedded_json": _q_embedded_json,
         "intel_gate": _q_intel_gate,
+        "geoip_gate": _q_geoip_gate,
     }
 
 

@@ -31,7 +31,7 @@ def test_entry_queries_release_all_persists(spark):
     # one conv-keyed pipeline consumer + two IP-keyed general-path
     # consumers (the round-3 leak path); counts force materialization
     for name in ("pipeline_alerts", "correlate_after_ip",
-                 "correlate_xbit_pair"):
+                 "correlate_xbit_pair", "correlate_dual_ip"):
         qs[name](spark, SF).count()
     # the caches themselves hold persisted frames while live (that's the
     # point — the 4 IP queries share ONE correlated frame) ...
